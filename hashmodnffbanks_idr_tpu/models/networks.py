@@ -1,0 +1,259 @@
+"""SDF (implicit) and rendering networks + Laplace density clamp.
+
+TPU-native re-design of code/model/implicit_differentiable_renderer.py:11-223
+and code/model/density_net.py: pure param-pytree modules, MXU-friendly
+512-wide matmul chains, weight-norm reparameterized explicitly, and the SDF
+gradient computed with one vjp over the batch (composable for the second-order
+eikonal term) instead of torch double-backprop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import (apply_linear, normal_linear, softplus,
+                          torch_default_linear, uniform_linear, weight_normalize)
+from ..ops import encodings as enc
+from .embedders import Embedder, PosEncEmbedder, SHEmbedder, build_embedder
+
+
+# ---------------------------------------------------------------------------
+# Laplace density (density_net.py:16-30)
+# ---------------------------------------------------------------------------
+
+class LaplaceDensity:
+    """alpha * Laplace(0, beta).cdf(-sdf); used only inside the SDF clamp.
+
+    The reference evaluates it under @torch.no_grad() (density_net.py:20), so
+    beta is a stored parameter that never receives gradients — reproduced with
+    stop_gradient.
+    """
+
+    def __init__(self, beta_init: float = 0.9, beta_min: float = 1e-4):
+        self.beta_init = beta_init
+        self.beta_min = beta_min
+
+    def init(self, key=None):
+        return {"beta": jnp.asarray(self.beta_init, dtype=jnp.float32)}
+
+    def apply(self, params, sdf):
+        beta = jnp.abs(params["beta"]) + self.beta_min
+        alpha = 1.0 / beta
+        val = alpha * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
+        return jax.lax.stop_gradient(val)
+
+
+# ---------------------------------------------------------------------------
+# ImplicitNetwork — the SDF + feature net (impl..._renderer.py:11-128)
+# ---------------------------------------------------------------------------
+
+class ImplicitNetwork:
+    def __init__(
+        self,
+        feature_vector_size: int,
+        d_in: int,
+        d_out: int,
+        dims: Sequence[int],
+        geometric_init: bool = True,
+        bias: float = 1.0,
+        skip_in: Sequence[int] = (),
+        weight_norm: bool = True,
+        multires: int = 0,
+        embed_type: Optional[str] = None,
+        log2_max_hash_size: int = 10,
+        max_points_per_entry: int = 2,
+        base_resolution: int = 64,
+        desired_resolution: Optional[int] = None,
+        bound: float = 1.0,
+        **embed_overrides,
+    ):
+        dims = [d_in] + list(dims) + [d_out + feature_vector_size]
+        self.d_in = d_in
+        self.embedder: Optional[Embedder] = None
+        if embed_type and multires > 0:
+            self.embedder = build_embedder(
+                embed_type, input_dims=d_in, network_dims=dims, multires=multires,
+                log2_max_hash_size=log2_max_hash_size,
+                max_points_per_entry=max_points_per_entry,
+                base_resolution=base_resolution,
+                desired_resolution=desired_resolution, bound=bound,
+                **embed_overrides,
+            )
+            dims[0] = self.embedder.embeddings_dim
+        self.dims = dims
+        self.num_layers = len(dims)
+        self.skip_in = tuple(skip_in)
+        self.geometric_init = geometric_init
+        self.bias = bias
+        self.weight_norm = weight_norm
+        self.multires = multires
+        self.density = LaplaceDensity(beta_init=0.9)
+
+    # -- init -------------------------------------------------------------
+    def init(self, key) -> Dict[str, Any]:
+        keys = jax.random.split(key, self.num_layers + 1)
+        params: Dict[str, Any] = {}
+        if self.embedder is not None:
+            params["embed"] = self.embedder.init(keys[-1])
+        lins = []
+        for l in range(self.num_layers - 1):
+            d_in_l = self.dims[l]
+            if l + 1 in self.skip_in:
+                out_dim = self.dims[l + 1] - self.dims[0]
+            else:
+                out_dim = self.dims[l + 1]
+            k = keys[l]
+            if self.geometric_init:
+                # impl..._renderer.py:64-78 (geometric sphere init)
+                if l == self.num_layers - 2:
+                    p = normal_linear(k, d_in_l, out_dim,
+                                      mean=math.sqrt(math.pi) / math.sqrt(d_in_l),
+                                      std=1e-4, bias=-self.bias)
+                elif self.multires > 0 and l == 0:
+                    p = normal_linear(k, d_in_l, out_dim, 0.0,
+                                      math.sqrt(2) / math.sqrt(out_dim), 0.0)
+                    # zero the weight columns for the encoded features
+                    # (torch: lin.weight[:, 3:] = 0 -> JAX kernel rows 3:)
+                    p["w"] = p["w"].at[3:, :].set(0.0)
+                elif self.multires > 0 and l in self.skip_in:
+                    p = normal_linear(k, d_in_l, out_dim, 0.0,
+                                      math.sqrt(2) / math.sqrt(out_dim), 0.0)
+                    ncut = self.dims[0] - 3
+                    if ncut > 0:
+                        p["w"] = p["w"].at[-ncut:, :].set(0.0)
+                else:
+                    p = normal_linear(k, d_in_l, out_dim, 0.0,
+                                      math.sqrt(2) / math.sqrt(out_dim), 0.0)
+            else:
+                p = torch_default_linear(k, d_in_l, out_dim)
+            if self.weight_norm:
+                p = weight_normalize(p)
+            lins.append(p)
+        params["lin"] = lins
+        params["density"] = self.density.init()
+        return params
+
+    # -- apply ------------------------------------------------------------
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x (N, 3) -> (N, 1 + feature_vector_size); channel 0 is the
+        Laplace-tanh-clamped SDF (impl..._renderer.py:89-113)."""
+        if self.embedder is not None:
+            inp = self.embedder.apply(params["embed"], x)
+        else:
+            inp = x
+        h = inp
+        for l in range(self.num_layers - 1):
+            if l in self.skip_in:
+                h = jnp.concatenate([h, inp], axis=1) / np.sqrt(2)
+            h = apply_linear(params["lin"][l], h)
+            if l < self.num_layers - 2:
+                h = softplus(h, beta=100.0)
+        # SDF clamp (impl..._renderer.py:106-112): stops SDF/grad explosion
+        # with hash encodings; the density term is gradient-stopped.
+        sdf_raw = h[..., 0]
+        dens = self.density.apply(params["density"], sdf_raw)
+        sdf = jnp.tanh(sdf_raw / (2.0 + dens))
+        return jnp.concatenate([sdf[..., None], h[..., 1:]], axis=-1)
+
+    def sdf(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(params, x)[..., 0]
+
+    def gradient(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-point ∂sdf/∂x via one batched vjp (composable: differentiating
+        this again w.r.t. params yields the mixed second derivative the
+        eikonal term needs — SURVEY.md §3.2)."""
+        y, vjp_fn = jax.vjp(lambda p: self.sdf(params, p), x)
+        (gx,) = vjp_fn(jnp.ones_like(y))
+        return gx
+
+
+# ---------------------------------------------------------------------------
+# RenderingNetwork — appearance MLP (impl..._renderer.py:130-223)
+# ---------------------------------------------------------------------------
+
+class RenderingNetwork:
+    def __init__(
+        self,
+        feature_vector_size: int,
+        mode: str,
+        d_in: int,
+        d_out: int,
+        dims: Sequence[int],
+        weight_norm: bool = True,
+        multires_view: int = 0,
+        viewdirs_embed_type: str = "NerfPos",
+        **embed_overrides,
+    ):
+        self.feature_vector_size = feature_vector_size
+        self.mode = mode
+        self.d_in = d_in
+        dims = [d_in + feature_vector_size] + list(dims) + [d_out]
+        self.view_embedder: Optional[Embedder] = None
+        self.view_embed_kind = None
+        if multires_view > 0 and self.mode == "idr":
+            if viewdirs_embed_type == "SHEncoder":
+                self.view_embedder = SHEmbedder(3, degree=multires_view)
+                dims[0] += self.view_embedder.embeddings_dim - 3
+                self.view_embed_kind = "sh"
+            elif viewdirs_embed_type == "NerfPos":
+                # classic-IDR path (impl..._renderer.py:156-161): declared dim
+                # is get_embedder's out_dim, actual output is out_dim + 3 —
+                # consistent because view dirs (3) are replaced by the embed.
+                self.view_embed_multires = multires_view
+                dims[0] += enc.get_embedder_dims(multires_view)
+                self.view_embed_kind = "nerfpos"
+            else:
+                # deep embedding network for view dirs
+                # (impl..._renderer.py:163-184): hardcoded hyperparams
+                self.view_embedder = build_embedder(
+                    viewdirs_embed_type, input_dims=3, network_dims=dims,
+                    multires=multires_view, log2_max_hash_size=multires_view - 1,
+                    max_points_per_entry=2, base_resolution=16,
+                    desired_resolution=512, bound=1.0, **embed_overrides,
+                )
+                dims[0] += self.view_embedder.embeddings_dim - 3
+                self.view_embed_kind = "deep"
+        self.dims = dims
+        self.num_layers = len(dims)
+        self.weight_norm = weight_norm
+
+    def init(self, key) -> Dict[str, Any]:
+        keys = jax.random.split(key, self.num_layers + 1)
+        params: Dict[str, Any] = {}
+        if self.view_embedder is not None:
+            params["view_embed"] = self.view_embedder.init(keys[-1])
+        lins = []
+        for l in range(self.num_layers - 1):
+            p = torch_default_linear(keys[l], self.dims[l], self.dims[l + 1])
+            if self.weight_norm:
+                p = weight_normalize(p)
+            lins.append(p)
+        params["lin"] = lins
+        return params
+
+    def apply(self, params, points, normals, view_dirs, feature_vectors):
+        if self.view_embed_kind == "nerfpos":
+            view_dirs = enc.nerf_embed(view_dirs, self.view_embed_multires)
+        elif self.view_embed_kind in ("sh", "deep"):
+            view_dirs = self.view_embedder.apply(params.get("view_embed", {}), view_dirs)
+
+        if self.mode == "idr":
+            h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+        elif self.mode == "no_view_dir":
+            h = jnp.concatenate([points, normals, feature_vectors], axis=-1)
+        elif self.mode == "no_normal":
+            h = jnp.concatenate([points, view_dirs, feature_vectors], axis=-1)
+        else:
+            raise ValueError(self.mode)
+
+        for l in range(self.num_layers - 1):
+            h = apply_linear(params["lin"][l], h)
+            if l < self.num_layers - 2:
+                h = jax.nn.relu(h)
+        return jnp.tanh(h)

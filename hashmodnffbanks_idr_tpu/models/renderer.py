@@ -1,0 +1,145 @@
+"""IDRNetwork — the full differentiable render pass.
+
+TPU-native re-design of code/model/implicit_differentiable_renderer.py:225-329.
+
+Key departures from the reference (same math, static shapes):
+  * all R = B*P rays keep lanes end-to-end; boolean gathers become
+    `jnp.where` masks (surface/miss handling is masked, not indexed);
+  * the tracer runs on a gradient-stopped copy of the params (the reference's
+    `torch.no_grad()` block, impl..._renderer.py:256-260);
+  * one batched vjp supplies the spatial SDF gradients for *both* the
+    (detached) surface normals and the eikonal samples: the reference
+    evaluates gradient() at [surface_points, uniform_eik, detached pixel
+    points] (impl..._renderer.py:276-291); the surface and pixel groups share
+    coordinates, so we evaluate at [stop_grad(points), uniform_eik] once and
+    reuse;
+  * the sample-network division is guarded on masked rays so no NaNs reach
+    the backward pass through `where`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.hocon import Config
+from ..geometry.cameras import get_camera_params
+from .networks import ImplicitNetwork, RenderingNetwork
+from .ray_tracing import RayTracerConfig, ray_trace
+from .sample_network import sample_network
+
+
+class IDRNetwork:
+    def __init__(self, conf: Config):
+        self.feature_vector_size = conf.get_int("feature_vector_size")
+        implicit_kwargs = dict(conf.get_config("implicit_network").data)
+        emb = conf.get_config("embedding_network", None)
+        if emb is not None:
+            implicit_kwargs.update(emb.data)  # impl..._renderer.py:229-233
+        self.implicit_network = ImplicitNetwork(self.feature_vector_size, **implicit_kwargs)
+        self.rendering_network = RenderingNetwork(
+            self.feature_vector_size, **conf.get_config("rendering_network").data
+        )
+        rt = conf.get_config("ray_tracer").data
+        self.ray_tracer = RayTracerConfig(**rt)
+        self.object_bounding_sphere = conf.get_float("ray_tracer.object_bounding_sphere")
+
+    # -- params -----------------------------------------------------------
+    def init(self, key) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        return {
+            "implicit_network": self.implicit_network.init(k1),
+            "rendering_network": self.rendering_network.init(k2),
+        }
+
+    # -- forward ----------------------------------------------------------
+    def apply(
+        self,
+        params: Dict[str, Any],
+        inputs: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        training: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        intrinsics = inputs["intrinsics"]
+        uv = inputs["uv"]
+        pose = inputs["pose"]
+        object_mask = inputs["object_mask"].reshape(-1).astype(bool)
+
+        ray_dirs, cam_loc = get_camera_params(uv, pose, intrinsics)
+        B, P, _ = ray_dirs.shape
+        R = B * P
+
+        p_impl = params["implicit_network"]
+        p_impl_ng = jax.lax.stop_gradient(p_impl)
+        sdf_fast = lambda x: self.implicit_network.sdf(p_impl_ng, x)
+
+        rng_trace, rng_eik = jax.random.split(rng)
+        trace = ray_trace(
+            self.ray_tracer, sdf_fast,
+            jax.lax.stop_gradient(cam_loc), object_mask,
+            jax.lax.stop_gradient(ray_dirs), rng_trace, training=training,
+        )
+        points_tr = jax.lax.stop_gradient(trace.points)
+        network_object_mask = trace.network_object_mask
+        dists = jax.lax.stop_gradient(trace.dists)
+
+        # re-derive points so pose gradients flow (impl..._renderer.py:262)
+        cam_flat = jnp.repeat(cam_loc[:, None, :], P, axis=1).reshape(R, 3)
+        dirs_flat = ray_dirs.reshape(R, 3)
+        points = cam_flat + dists[:, None] * dirs_flat
+
+        sdf_output = self.implicit_network.apply(p_impl, points)[:, 0:1]
+
+        if training:
+            surface_mask = network_object_mask & object_mask
+
+            # eikonal samples (impl..._renderer.py:276-284)
+            n_eik = R // 2
+            eik_bb = self.object_bounding_sphere
+            eik_points = jax.random.uniform(
+                rng_eik, (n_eik, 3), minval=-eik_bb, maxval=eik_bb, dtype=points.dtype
+            )
+            x_g = jnp.concatenate([jax.lax.stop_gradient(points), eik_points], axis=0)
+            g = self.implicit_network.gradient(p_impl, x_g)
+            surface_points_grad = jax.lax.stop_gradient(g[:R])
+            grad_theta = jnp.concatenate([g[R:], g[:R]], axis=0)
+
+            surface_sdf_values = jax.lax.stop_gradient(sdf_output)
+            differentiable_points = sample_network(
+                sdf_output, surface_sdf_values, surface_points_grad,
+                dists[:, None], cam_flat, dirs_flat, valid_mask=surface_mask,
+            )
+        else:
+            surface_mask = network_object_mask
+            differentiable_points = points
+            grad_theta = None
+
+        view = -dirs_flat
+        rgb_raw = self._get_rgb_value(params, differentiable_points, view)
+        rgb_values = jnp.where(surface_mask[:, None], rgb_raw,
+                               jnp.ones_like(rgb_raw))  # miss -> white (impl..._renderer.py:306)
+
+        out = {
+            "points": points,
+            "rgb_values": rgb_values,
+            "sdf_output": sdf_output,
+            "network_object_mask": network_object_mask,
+            "object_mask": object_mask,
+            "dists": dists,
+        }
+        if training:
+            out["grad_theta"] = grad_theta
+        return out
+
+    def _get_rgb_value(self, params, points, view_dirs):
+        """impl..._renderer.py:321-329: normals from the SDF gradient feed the
+        appearance net together with the 256-d feature vector."""
+        p_impl = params["implicit_network"]
+        output = self.implicit_network.apply(p_impl, points)
+        normals = self.implicit_network.gradient(p_impl, points)
+        feature_vectors = output[:, 1:]
+        return self.rendering_network.apply(
+            params["rendering_network"], points, normals, view_dirs, feature_vectors
+        )

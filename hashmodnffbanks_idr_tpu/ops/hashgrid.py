@@ -1,0 +1,361 @@
+"""Multi-resolution hash-grid encoding — the framework's flagship op.
+
+One packed-table design serving all three reference encoder backends:
+
+  * ``variant='ngp'`` — canonical instant-ngp semantics, matching the
+    reference's CUDA kernels (hash_encoder/src/hashencoder.cu:125-200:
+    ``scale = 2^(l·S)·H − 1``, ``pos = x·scale + 0.5``, dense stride indexing
+    when the level grid fits, XOR-prime ``fast_hash`` otherwise
+    (hashencoder.cu:68-103), per-level offset table rounded to 8
+    (hashgridencoder.py:100-110)).  This is also the semantics of
+    tiny-cuda-nn's grid encoding, so it backs the reference's *Tcnn* encoder
+    family.  gridtype 'tiled', ``align_corners`` and 'smoothstep'
+    interpolation fold in the extra options of the second CUDA copy
+    (gridencoder_torchngp/src/gridencoder.cu:40-46,78-83).
+  * ``variant='torch'`` — the pure-PyTorch path's semantics
+    (hashGridEmbedding.py:81-102): per-level resolution floor(base·β^l),
+    hash = XOR of coord·primes [1,3,2654435761,…] mod level size, and the
+    reference's degenerate interpolation (``xf = x - x.float()`` ≡ 0, so the
+    lookup is the floor corner only).  Trained reference checkpoints embed this
+    behaviour, so it is kept reproducible behind ``interpolation='floor'``;
+    set ``interpolation='linear'`` for the corrected trilinear version.
+
+TPU design: all levels are packed into a single ``[total_rows, C]`` table with
+static per-level offsets; the forward is one batched gather + weighted
+reduction (vectorized over levels — no per-level Python loop in the hot path),
+and the backward is XLA scatter-add, fully twice-differentiable (the eikonal
+term needs grad-of-grad through the encoder, SURVEY.md §3.2).  A Pallas fast
+path for the no-grad sphere-tracing loop lives in ops/hashgrid_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# instant-ngp / hashencoder.cu:75 primes (index 0 is intentionally 1).
+NGP_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+# pure-torch path primes (hashGridEmbedding.py:14).
+TORCH_PRIMES = (1, 3, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+_U32 = np.uint64(0xFFFFFFFF)  # wrap-to-uint32 mask; jnp has no uint32 overflow UB
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static description of a multi-resolution hash grid."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    per_level_scale: float = 2.0
+    desired_resolution: Optional[int] = None
+    variant: str = "ngp"          # 'ngp' | 'torch'
+    gridtype: str = "hash"        # 'hash' | 'tiled'
+    interpolation: str = "linear"  # 'linear' | 'smoothstep' | 'floor'
+    align_corners: bool = False
+    init_std: float = 1e-4
+
+    # ---- derived static tables -----------------------------------------
+    def scale_factor(self) -> float:
+        if self.desired_resolution is not None:
+            if self.variant == "torch":
+                # hashGridEmbedding.py:126
+                return math.exp(
+                    (math.log(self.desired_resolution) - math.log(self.base_resolution))
+                    / (self.num_levels - 1)
+                )
+            # hashgridencoder.py:86
+            return float(
+                np.exp2(np.log2(self.desired_resolution / self.base_resolution) / (self.num_levels - 1))
+            )
+        return self.per_level_scale
+
+    def level_resolutions(self) -> np.ndarray:
+        s = self.scale_factor()
+        if self.variant == "torch":
+            return np.array(
+                [int(math.floor(self.base_resolution * s**l)) for l in range(self.num_levels)],
+                dtype=np.int64,
+            )
+        # ngp: resolution used for the offset table (hashgridencoder.py:104)
+        return np.array(
+            [int(np.ceil(self.base_resolution * s**l)) for l in range(self.num_levels)],
+            dtype=np.int64,
+        )
+
+    def level_scales(self) -> np.ndarray:
+        """The continuous position scale per level."""
+        s = self.scale_factor()
+        if self.variant == "torch":
+            return self.level_resolutions().astype(np.float64)
+        # hashencoder.cu:155  scale = exp2f(level*S)*H - 1
+        S = np.log2(s)
+        return np.exp2(np.arange(self.num_levels) * S) * self.base_resolution - 1.0
+
+    def level_grid_resolutions(self) -> np.ndarray:
+        """Grid resolution used for corner indexing.
+
+        For 'ngp' this is ceil(scale)+1 (hashencoder.cu:156), which equals the
+        wrapper's ceil(H·s^l) (hashgridencoder.py:104) for all l; the dense
+        stride base is this value + 1 (hashencoder.cu:94).
+        """
+        if self.variant == "torch":
+            return self.level_resolutions()
+        return np.ceil(self.level_scales()).astype(np.int64) + 1
+
+    def level_sizes(self) -> np.ndarray:
+        max_params = 2**self.log2_hashmap_size
+        sizes = []
+        for l in range(self.num_levels):
+            if self.variant == "torch":
+                res = int(self.level_resolutions()[l])
+                sizes.append(min(res**self.input_dim, max_params))  # hashGridEmbedding.py:132
+            else:
+                res = int(self.level_resolutions()[l])
+                n = min(max_params, (res + 1) ** self.input_dim)  # hashgridencoder.py:105
+                n = int(np.ceil(n / 8) * 8)
+                sizes.append(n)
+        return np.array(sizes, dtype=np.int64)
+
+    def offsets(self) -> np.ndarray:
+        off = np.zeros(self.num_levels + 1, dtype=np.int64)
+        off[1:] = np.cumsum(self.level_sizes())
+        return off
+
+    def total_rows(self) -> int:
+        return int(self.offsets()[-1])
+
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def dense_mask(self) -> np.ndarray:
+        """Per level: True when the full grid fits (dense stride indexing).
+
+        Mirrors get_grid_index (hashencoder.cu:88-101): hash iff the final
+        stride (res+1)^D exceeds the level's hashmap size.
+        """
+        if self.variant == "torch":
+            # pure-torch path always hashes (hashGridEmbedding.py:98)
+            return np.zeros(self.num_levels, dtype=bool)
+        res = self.level_grid_resolutions()
+        return ((res + 1) ** self.input_dim) <= self.level_sizes()
+
+
+def init_table(key, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
+    """U(-std, std) init (hashgridencoder.py:119-121, hashGridEmbedding.py:69-71)."""
+    return jax.random.uniform(
+        key, (spec.total_rows(), spec.level_dim), dtype=dtype,
+        minval=-spec.init_std, maxval=spec.init_std,
+    )
+
+
+# ---------------------------------------------------------------------------
+# index computation
+# ---------------------------------------------------------------------------
+
+def _corner_bits(D: int) -> np.ndarray:
+    """(2^D, D) binary corner offsets."""
+    n = 1 << D
+    idx = np.arange(n, dtype=np.int64)[:, None]
+    dims = np.arange(D, dtype=np.int64)[None, :]
+    return ((idx >> dims) & 1).astype(np.int64)
+
+
+def _hash_u32(coords: jnp.ndarray, primes: Tuple[int, ...]) -> jnp.ndarray:
+    """XOR-prime spatial hash on uint32 wraparound arithmetic.
+
+    coords: (..., D) non-negative int32/int64 grid coordinates.
+    Matches fast_hash (hashencoder.cu:68-84) when given NGP_PRIMES and
+    hash_func (hashGridEmbedding.py:33-40) when given TORCH_PRIMES.
+    """
+    D = coords.shape[-1]
+    c = coords.astype(jnp.uint32)
+    result = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+    for d in range(D):
+        result = result ^ (c[..., d] * jnp.uint32(primes[d] & 0xFFFFFFFF))
+    return result
+
+
+def _level_indices(spec: HashGridSpec, corners: jnp.ndarray) -> jnp.ndarray:
+    """corners (N, L, 2^D, D) int32 -> packed-table row indices (N, L, 2^D)."""
+    L, D = spec.num_levels, spec.input_dim
+    sizes = spec.level_sizes()
+    grid_res = spec.level_grid_resolutions()
+    dense = spec.dense_mask()
+    offsets = spec.offsets()
+    primes = NGP_PRIMES if spec.variant == "ngp" else TORCH_PRIMES
+
+    if spec.gridtype == "tiled":
+        dense = np.ones_like(dense)  # tiled: always stride-index, wrap by modulo
+
+    # dense stride index: sum_d corner_d * stride_base^d  (hashencoder.cu:88-95)
+    stride_base = grid_res + 1 if spec.variant == "ngp" else grid_res
+    strides = np.stack([stride_base.astype(np.int64) ** d for d in range(D)], axis=-1)  # (L, D)
+
+    strides_j = jnp.asarray(strides.astype(np.int64), dtype=jnp.uint32)  # (L, D)
+    dense_idx = jnp.sum(corners.astype(jnp.uint32) * strides_j[None, :, None, :], axis=-1)
+
+    hashed_idx = _hash_u32(corners, primes)
+
+    dense_j = jnp.asarray(dense)
+    idx = jnp.where(dense_j[None, :, None], dense_idx, hashed_idx)
+    sizes_j = jnp.asarray(sizes.astype(np.int64), dtype=jnp.uint32)
+    idx = idx % sizes_j[None, :, None]
+    rows = idx.astype(jnp.int32) + jnp.asarray(offsets[:-1], dtype=jnp.int32)[None, :, None]
+    return rows
+
+
+def _positions(spec: HashGridSpec, x: jnp.ndarray):
+    """x (N, D) in [0,1] -> (pos_floor int32 (N,L,D), frac (N,L,D))."""
+    scales = jnp.asarray(spec.level_scales(), dtype=x.dtype)  # (L,)
+    pos = x[:, None, :] * scales[None, :, None]
+    if spec.variant == "ngp" and not spec.align_corners:
+        pos = pos + 0.5  # hashencoder.cu:163
+    floor = jnp.floor(pos)
+    frac = pos - floor
+    return floor.astype(jnp.int32), frac
+
+
+def _interp_weights(spec: HashGridSpec, frac: jnp.ndarray) -> jnp.ndarray:
+    """frac (N,L,D) -> corner weights (N,L,2^D)."""
+    D = spec.input_dim
+    bits = jnp.asarray(_corner_bits(D))  # (2^D, D)
+    if spec.interpolation == "floor":
+        # reference pure-torch bug: only the floor corner has weight 1
+        # (hashGridEmbedding.py:86 `xf = x - x.float()` == 0)
+        f = jnp.zeros_like(frac)
+    elif spec.interpolation == "smoothstep":
+        f = frac * frac * (3.0 - 2.0 * frac)  # gridencoder.cu smoothstep
+    else:
+        f = frac
+    # weight per corner: prod_d (bit ? f : 1-f)
+    w = jnp.where(bits[None, None, :, :] == 1, f[:, :, None, :], 1.0 - f[:, :, None, :])
+    return jnp.prod(w, axis=-1)
+
+
+def hash_encode(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    spec: HashGridSpec,
+    *,
+    zero_oob: bool = True,
+) -> jnp.ndarray:
+    """Encode x (N, D) in [0,1] -> (N, L*C).
+
+    Fully differentiable (incl. second order) w.r.t. both ``x`` and ``table``.
+    Matches kernel_grid (hashencoder.cu:107-252) for variant='ngp' and the
+    pure-torch forward (hashGridEmbedding.py:81-102,150-155) for
+    variant='torch' + interpolation='floor'.
+    """
+    N, D = x.shape
+    L, C = spec.num_levels, spec.level_dim
+
+    floor, frac = _positions(spec, x)
+    bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
+    corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
+    rows = _level_indices(spec, corners)  # (N,L,2^D)
+    w = _interp_weights(spec, frac).astype(table.dtype)  # (N,L,2^D)
+
+    vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+    out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
+
+    if zero_oob and spec.variant == "ngp":
+        # hashencoder.cu:131-147: inputs outside [0,1] produce zeros
+        oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+        out = jnp.where(oob[:, None, None], 0.0, out)
+
+    return out.reshape(N, L * C)
+
+
+def total_variation_loss(
+    x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec
+) -> jnp.ndarray:
+    """Grid total-variation regularizer at sampled points.
+
+    TPU-native replacement for the torch-ngp ``grad_total_variation`` kernel
+    (gridencoder_torchngp/src/gridencoder.cu kernel_grad_tv), which injects TV
+    gradients of each sampled cell directly into ``embeddings.grad``.  Here it
+    is a plain differentiable loss term: sum over levels/dims of squared
+    differences between the floor corner and its +1 neighbour at the sampled
+    cells — same gradient structure, jit/grad-friendly.
+    """
+    N, D = x.shape
+    floor, _ = _positions(spec, x)
+    bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)
+    corners = floor[:, :, None, :] + bits[None, None, :, :]
+    rows = _level_indices(spec, corners)  # (N,L,2^D)
+    vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+    # corner 0 is the floor corner; corner with only bit d set is its +e_d
+    # neighbour (see _corner_bits): TV = sum_d (v[e_d] - v[0])^2
+    base = vals[:, :, 0:1, :]
+    diffs = []
+    for d in range(D):
+        diffs.append(vals[:, :, 1 << d, :] - base[:, :, 0, :])
+    tv = sum(jnp.sum(dd**2) for dd in diffs)
+    return tv / (N * spec.num_levels * D)
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (for unit tests against the CUDA-kernel semantics)
+# ---------------------------------------------------------------------------
+
+def hash_encode_numpy(x: np.ndarray, table: np.ndarray, spec: HashGridSpec) -> np.ndarray:
+    """Scalar-loop NumPy transliteration used as the unit-test oracle."""
+    N, D = x.shape
+    L, C = spec.num_levels, spec.level_dim
+    out = np.zeros((N, L, C), dtype=np.float64)
+    scales = spec.level_scales()
+    sizes = spec.level_sizes()
+    offsets = spec.offsets()
+    grid_res = spec.level_grid_resolutions()
+    dense = spec.dense_mask()
+    if spec.gridtype == "tiled":
+        dense = np.ones_like(dense)
+    primes = NGP_PRIMES if spec.variant == "ngp" else TORCH_PRIMES
+
+    for n in range(N):
+        if spec.variant == "ngp" and (np.any(x[n] < 0) or np.any(x[n] > 1)):
+            continue
+        for l in range(L):
+            pos = x[n] * scales[l]
+            if spec.variant == "ngp" and not spec.align_corners:
+                pos = pos + 0.5
+            pg = np.floor(pos).astype(np.int64)
+            f = pos - pg
+            if spec.interpolation == "floor":
+                f = np.zeros_like(f)
+            elif spec.interpolation == "smoothstep":
+                f = f * f * (3 - 2 * f)
+            for corner in range(1 << D):
+                w = 1.0
+                cc = np.zeros(D, dtype=np.int64)
+                for d in range(D):
+                    if (corner >> d) & 1:
+                        w *= f[d]
+                        cc[d] = pg[d] + 1
+                    else:
+                        w *= 1 - f[d]
+                        cc[d] = pg[d]
+                if dense[l]:
+                    stride_base = grid_res[l] + 1 if spec.variant == "ngp" else grid_res[l]
+                    idx = 0
+                    s = 1
+                    for d in range(D):
+                        idx += int(cc[d]) * s
+                        s *= int(stride_base)
+                else:
+                    idx = 0
+                    for d in range(D):
+                        idx ^= (int(cc[d]) * primes[d]) & 0xFFFFFFFF
+                idx = (idx & 0xFFFFFFFF) % int(sizes[l])
+                out[n, l] += w * table[offsets[l] + idx]
+    return out.reshape(N, L * C).astype(np.float32)

@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hashmodnffbanks_idr_tpu.ops import hashgrid as hg
+
+
+def make_spec(**kw):
+    base = dict(
+        input_dim=3, num_levels=4, level_dim=2, base_resolution=4,
+        log2_hashmap_size=7, desired_resolution=32, variant="ngp",
+    )
+    base.update(kw)
+    return hg.HashGridSpec(**base)
+
+
+@pytest.mark.parametrize("variant,interp", [
+    ("ngp", "linear"),
+    ("ngp", "smoothstep"),
+    ("torch", "floor"),
+    ("torch", "linear"),
+])
+def test_matches_numpy_oracle(variant, interp):
+    spec = make_spec(variant=variant, interpolation=interp)
+    key = jax.random.PRNGKey(0)
+    table = hg.init_table(key, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (37, 3))
+    got = np.asarray(hg.hash_encode(x, table, spec))
+    want = hg.hash_encode_numpy(np.asarray(x), np.asarray(table), spec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_tiled_matches_oracle():
+    spec = make_spec(gridtype="tiled")
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+    got = np.asarray(hg.hash_encode(x, table, spec))
+    want = hg.hash_encode_numpy(np.asarray(x), np.asarray(table), spec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_oob_zeroed_ngp():
+    spec = make_spec()
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.3]])
+    out = np.asarray(hg.hash_encode(x, table, spec))
+    assert np.all(out == 0.0)
+
+
+def test_offsets_round8_and_dense_levels():
+    spec = make_spec(base_resolution=4, desired_resolution=64, num_levels=4,
+                     log2_hashmap_size=9)
+    sizes = spec.level_sizes()
+    assert np.all(sizes % 8 == 0)
+    dense = spec.dense_mask()
+    # coarsest level 5^3=125 <= 128(round8) fits; finest 65^3 does not
+    assert dense[0]
+    assert not dense[-1]
+
+
+def test_grad_and_second_order():
+    spec = make_spec()
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), minval=0.1, maxval=0.9)
+
+    def f(t, x):
+        return jnp.sum(hg.hash_encode(x, t, spec) ** 2)
+
+    gt = jax.grad(f, argnums=0)(table, x)
+    assert gt.shape == table.shape
+    assert np.isfinite(np.asarray(gt)).all()
+
+    # grad w.r.t. inputs exists (trilinear interp is piecewise linear in x)
+    gx = jax.grad(f, argnums=1)(table, x)
+    assert gx.shape == x.shape
+
+    # second order: d/dtable of ||d sdf/dx|| — the eikonal pattern
+    def eik(t):
+        def s(xx):
+            return jnp.sum(hg.hash_encode(xx, t, spec))
+        g = jax.grad(s)(x)
+        return jnp.sum(g**2)
+
+    h = jax.grad(eik)(table)
+    assert h.shape == table.shape
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_input_grad_matches_fd():
+    spec = make_spec(interpolation="smoothstep")  # smooth derivative
+    table = hg.init_table(jax.random.PRNGKey(0), spec) * 100.0
+    x = jnp.asarray([[0.33, 0.41, 0.57]])
+
+    def f(x):
+        return jnp.sum(hg.hash_encode(x, table, spec))
+
+    g = np.asarray(jax.grad(lambda x: f(x))(x))
+    eps = 1e-4
+    for d in range(3):
+        xp = x.at[0, d].add(eps)
+        xm = x.at[0, d].add(-eps)
+        fd = (f(xp) - f(xm)) / (2 * eps)
+        np.testing.assert_allclose(g[0, d], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_torch_floor_is_nearest_corner():
+    """The reference pure-torch 'interpolation bug': output == table row of the
+    hashed floor corner (hashGridEmbedding.py:86)."""
+    spec = make_spec(variant="torch", interpolation="floor", num_levels=2,
+                     base_resolution=4, desired_resolution=8)
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray([[0.3, 0.6, 0.9]])
+    out = np.asarray(hg.hash_encode(x, table, spec)).reshape(2, 2)
+    # manually compute for level 0: res=4, coords floor(x*4)
+    res = spec.level_resolutions()
+    sizes = spec.level_sizes()
+    offs = spec.offsets()
+    for l in range(2):
+        c = np.floor(np.array([0.3, 0.6, 0.9]) * res[l]).astype(np.int64)
+        idx = 0
+        for d in range(3):
+            idx ^= (int(c[d]) * hg.TORCH_PRIMES[d]) & 0xFFFFFFFF
+        idx = (idx & 0xFFFFFFFF) % int(sizes[l])
+        np.testing.assert_allclose(out[l], np.asarray(table)[offs[l] + idx])
+
+
+def test_total_variation_loss_finite():
+    spec = make_spec()
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    tv = hg.total_variation_loss(x, table, spec)
+    assert np.isfinite(float(tv))
+    g = jax.grad(lambda t: hg.total_variation_loss(x, t, spec))(table)
+    assert np.isfinite(np.asarray(g)).all()
