@@ -37,7 +37,7 @@ class Evaluator:
     def __init__(self, conf: Config, params, train_cameras: bool = False,
                  pose_vecs: Optional[np.ndarray] = None,
                  data_root: Optional[str] = None, scan_id: int = -1,
-                 tile: int = 4096):
+                 tile: int = 4096, dataset: Optional[SceneDataset] = None):
         self.conf = conf
         self.model = IDRNetwork(conf.get_config("model"))
         self.params = params
@@ -45,10 +45,13 @@ class Evaluator:
         self.pose_vecs = pose_vecs
         self.tile = tile
 
-        dataset_conf = dict(conf.get_config("dataset").data)
-        if scan_id != -1:
-            dataset_conf["scan_id"] = scan_id
-        self.dataset = SceneDataset(train_cameras, data_root=data_root, **dataset_conf)
+        if dataset is not None:
+            self.dataset = dataset
+        else:
+            dataset_conf = dict(conf.get_config("dataset").data)
+            if scan_id != -1:
+                dataset_conf["scan_id"] = scan_id
+            self.dataset = SceneDataset(train_cameras, data_root=data_root, **dataset_conf)
 
         self._render_tile = jax.jit(partial(self._render_tile_impl))
 

@@ -73,6 +73,71 @@ def sparse_adam_update(pose_vecs, grads, state, touched_rows, lr,
 
 
 # ---------------------------------------------------------------------------
+# the jitted train step (shared by the runner and by __graft_entry__)
+# ---------------------------------------------------------------------------
+
+def build_train_step(model: IDRNetwork, loss_cfg: IDRLossConfig, optimizer,
+                     train_cameras: bool = False, batch_size: int = 1,
+                     lr_cam: float = 1e-4, mesh=None):
+    """One fused train step: pixel gather -> render -> loss -> clipped Adam.
+
+    When `mesh` is given, per-ray tensors get 'data'-axis sharding constraints
+    and XLA SPMD inserts the gradient psums (parallel/sharding.py).
+    """
+    from ..parallel.sharding import constrain_rays
+
+    B = batch_size
+
+    def loss_fn(params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha):
+        uv = scene["uv"][pixel_idx][None].repeat(B, axis=0)        # (B, P, 2)
+        mask = scene["mask"][img_idx][:, pixel_idx]                # (B, P)
+        rgb_gt = rgb_to_pm1(scene["rgb"][img_idx][:, pixel_idx])   # (B, P, 3)
+        if mesh is not None:
+            uv = constrain_rays(jnp.swapaxes(uv, 0, 1), mesh).swapaxes(0, 1)
+            mask = constrain_rays(jnp.swapaxes(mask, 0, 1), mesh).swapaxes(0, 1)
+            rgb_gt = constrain_rays(jnp.swapaxes(rgb_gt, 0, 1), mesh).swapaxes(0, 1)
+        if train_cameras:
+            pose = pose_vecs[img_idx]                              # (B, 7)
+        else:
+            pose = scene["pose"][img_idx]                          # (B, 4, 4)
+        inputs = {
+            "uv": uv,
+            "intrinsics": scene["intrinsics"][img_idx],
+            "pose": pose,
+            "object_mask": mask,
+        }
+        outputs = model.apply(params, inputs, rng, training=True)
+        losses = idr_loss(loss_cfg, outputs, rgb_gt, alpha)
+        return losses["loss"], losses
+
+    def step(state, scene, img_idx, pixel_idx, rng, alpha):
+        params = state["params"]
+        pose_vecs = state.get("pose_vecs")
+        if train_cameras:
+            (_, losses), (gp, gc) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha)
+        else:
+            (_, losses), gp = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha
+            )
+        updates, new_opt = optimizer.update(gp, state["opt_state"], params)
+        new_params = optax.apply_updates(params, updates)
+        new_state = dict(state)
+        new_state["params"] = new_params
+        new_state["opt_state"] = new_opt
+        if train_cameras:
+            new_pose, new_cam_opt = sparse_adam_update(
+                pose_vecs, gc, state["cam_opt"], img_idx, lr_cam
+            )
+            new_state["pose_vecs"] = new_pose
+            new_state["cam_opt"] = new_cam_opt
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # Runner
 # ---------------------------------------------------------------------------
 
@@ -199,56 +264,11 @@ class IDRTrainRunner:
 
     # ------------------------------------------------------------------
     def _build_step(self):
-        model = self.model
-        loss_cfg = self.loss_cfg
-        optimizer = self.optimizer
-        train_cameras = self.train_cameras
-        num_pixels = self.num_pixels
-        B = self.batch_size
-
-        def loss_fn(params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha):
-            uv = scene["uv"][pixel_idx][None].repeat(B, axis=0)        # (B, P, 2)
-            mask = scene["mask"][img_idx][:, pixel_idx]                # (B, P)
-            rgb_gt = rgb_to_pm1(scene["rgb"][img_idx][:, pixel_idx])   # (B, P, 3)
-            if train_cameras:
-                pose = pose_vecs[img_idx]                              # (B, 7)
-            else:
-                pose = scene["pose"][img_idx]                          # (B, 4, 4)
-            inputs = {
-                "uv": uv,
-                "intrinsics": scene["intrinsics"][img_idx],
-                "pose": pose,
-                "object_mask": mask,
-            }
-            outputs = model.apply(params, inputs, rng, training=True)
-            losses = idr_loss(loss_cfg, outputs, rgb_gt, alpha)
-            return losses["loss"], losses
-
-        def step(state, scene, img_idx, pixel_idx, rng, alpha):
-            params = state["params"]
-            pose_vecs = state.get("pose_vecs")
-            if train_cameras:
-                (_, losses), (gp, gc) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha)
-            else:
-                (_, losses), gp = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, pose_vecs, scene, img_idx, pixel_idx, rng, alpha
-                )
-            updates, new_opt = optimizer.update(gp, state["opt_state"], params)
-            new_params = optax.apply_updates(params, updates)
-            new_state = dict(state)
-            new_state["params"] = new_params
-            new_state["opt_state"] = new_opt
-            if train_cameras:
-                new_pose, new_cam_opt = sparse_adam_update(
-                    pose_vecs, gc, state["cam_opt"], img_idx, self.lr_cam
-                )
-                new_state["pose_vecs"] = new_pose
-                new_state["cam_opt"] = new_cam_opt
-            return new_state, losses
-
-        return jax.jit(step, donate_argnums=(0,))
+        return build_train_step(
+            self.model, self.loss_cfg, self.optimizer,
+            train_cameras=self.train_cameras, batch_size=self.batch_size,
+            lr_cam=getattr(self, "lr_cam", 1e-4), mesh=self.mesh,
+        )
 
     # ------------------------------------------------------------------
     def run(self):
@@ -261,6 +281,11 @@ class IDRTrainRunner:
                                    self.alpha_factor, epoch)
             if epoch % 25 == 0:
                 ckpt.save_checkpoint(self.checkpoints_path, epoch, state)
+            if self.plot_freq and epoch % self.plot_freq == 0 and epoch > 0:
+                try:
+                    self._plot(state, epoch)
+                except Exception as e:  # plotting must never kill training
+                    print(f"[plot @{epoch}] failed: {e}")
 
             # one pixel subset per epoch (idr_train.py:278)
             self.rng, k_pix, k_perm = jax.random.split(self.rng, 3)
@@ -295,3 +320,21 @@ class IDRTrainRunner:
         self.state = state
         self.logger.close()
         return state
+
+    # ------------------------------------------------------------------
+    def _plot(self, state, epoch):
+        """Per-plot-epoch artifacts (idr_train.py:231-273 role)."""
+        from ..eval.evaluator import Evaluator
+        from ..eval.plots import plot_epoch
+
+        ev = Evaluator(
+            self.conf, state["params"], train_cameras=self.train_cameras,
+            pose_vecs=state.get("pose_vecs"),
+            dataset=self.train_dataset, tile=4096,
+        )
+        idx = int(np.random.default_rng(epoch).integers(self.n_images))
+        view = ev.render_view(idx)
+        p_impl = state["params"]["implicit_network"]
+        sdf_fn = lambda x: self.model.implicit_network.sdf(p_impl, x)
+        plot_epoch(self.plots_dir, epoch, view, sdf_fn, self.train_dataset.pose_all,
+                   resolution=self.plot_conf.get_int("resolution", 100))
