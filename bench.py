@@ -27,6 +27,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from hashmodnffbanks_idr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from hashmodnffbanks_idr_tpu.models.loss import IDRLossConfig
     from hashmodnffbanks_idr_tpu.models.renderer import IDRNetwork
     from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene

@@ -91,12 +91,20 @@ class SceneDataset:
         self.intrinsics_all = np.stack(intr).astype(np.float32)  # (V, 4, 4)
         self.pose_all = np.stack(poses).astype(np.float32)       # (V, 4, 4)
 
-        self.rgb_images = np.stack(
-            [load_rgb_uint8(p).reshape(-1, 3) for p in image_paths]
-        )  # (V, H*W, 3) uint8
-        self.object_masks = np.stack(
-            [load_mask(p).reshape(-1) for p in mask_paths]
-        )  # (V, H*W) bool
+        # native multithreaded decode when built (native/scene_loader.cpp);
+        # serial cv2 fallback otherwise
+        from .native_loader import load_scene_native
+
+        native = load_scene_native(image_paths, mask_paths, self.img_res)
+        if native is not None:
+            self.rgb_images, self.object_masks = native
+        else:
+            self.rgb_images = np.stack(
+                [load_rgb_uint8(p).reshape(-1, 3) for p in image_paths]
+            )  # (V, H*W, 3) uint8
+            self.object_masks = np.stack(
+                [load_mask(p).reshape(-1) for p in mask_paths]
+            )  # (V, H*W) bool
 
         self.uv = uv_grid(self.img_res)  # (H*W, 2) float32
 

@@ -140,9 +140,17 @@ class ImplicitNetwork:
         return params
 
     # -- apply ------------------------------------------------------------
-    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params, x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
         """x (N, 3) -> (N, 1 + feature_vector_size); channel 0 is the
-        Laplace-tanh-clamped SDF (impl..._renderer.py:89-113)."""
+        Laplace-tanh-clamped SDF (impl..._renderer.py:89-113).
+
+        fast=True runs the 512-wide matmul chain in bf16 on the MXU (f32
+        accumulate) — used only inside the gradient-stopped sphere tracer,
+        mirroring the reference CUDA encoders' fp16 forward
+        (hashgridencoder.py:13 custom_fwd cast_inputs=half).  The encoder and
+        all position math stay f32 (positions scaled by up to the finest grid
+        resolution cannot survive bf16)."""
+        cdt = jnp.bfloat16 if fast else None
         if self.embedder is not None:
             inp = self.embedder.apply(params["embed"], x)
         else:
@@ -151,7 +159,7 @@ class ImplicitNetwork:
         for l in range(self.num_layers - 1):
             if l in self.skip_in:
                 h = jnp.concatenate([h, inp], axis=1) / np.sqrt(2)
-            h = apply_linear(params["lin"][l], h)
+            h = apply_linear(params["lin"][l], h, compute_dtype=cdt)
             if l < self.num_layers - 2:
                 h = softplus(h, beta=100.0)
         # SDF clamp (impl..._renderer.py:106-112): stops SDF/grad explosion

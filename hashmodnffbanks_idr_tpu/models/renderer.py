@@ -45,6 +45,10 @@ class IDRNetwork:
         rt = conf.get_config("ray_tracer").data
         self.ray_tracer = RayTracerConfig(**rt)
         self.object_bounding_sphere = conf.get_float("ray_tracer.object_bounding_sphere")
+        # bf16 MXU fast path for the gradient-stopped tracer SDF evals
+        # (precedent: the reference CUDA encoder forward runs fp16,
+        # hashgridencoder.py:13).  Set model.tracer_fast = False for full-f32.
+        self.tracer_fast = bool(conf.get("tracer_fast", True))
 
     # -- params -----------------------------------------------------------
     def init(self, key) -> Dict[str, Any]:
@@ -73,7 +77,8 @@ class IDRNetwork:
 
         p_impl = params["implicit_network"]
         p_impl_ng = jax.lax.stop_gradient(p_impl)
-        sdf_fast = lambda x: self.implicit_network.sdf(p_impl_ng, x)
+        sdf_fast = lambda x: self.implicit_network.apply(
+            p_impl_ng, x, fast=self.tracer_fast)[..., 0]
 
         rng_trace, rng_eik = jax.random.split(rng)
         trace = ray_trace(

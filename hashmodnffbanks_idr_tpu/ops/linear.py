@@ -52,13 +52,21 @@ def weight_normalize(params):
     return {"v": w, "g": g, "b": params["b"]}
 
 
-def apply_linear(params, x: jnp.ndarray) -> jnp.ndarray:
+def apply_linear(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """y = x W + b.  With compute_dtype (e.g. bf16) the matmul runs in that
+    dtype on the MXU with f32 accumulation (preferred_element_type) and the
+    result is returned in f32 — the mixed-precision fast path used by the
+    no-grad sphere tracer."""
     if "v" in params:
         v = params["v"]
         norm = jnp.linalg.norm(v, axis=0, keepdims=True)
         w = v * (params["g"][None, :] / jnp.maximum(norm, 1e-12))
     else:
         w = params["w"]
+    if compute_dtype is not None:
+        y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        return y + params["b"].astype(jnp.float32)
     return x @ w.astype(x.dtype) + params["b"].astype(x.dtype)
 
 

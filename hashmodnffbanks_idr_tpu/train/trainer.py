@@ -159,6 +159,9 @@ class IDRTrainRunner:
         log_tensorboard: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.conf = parse_file(conf) if isinstance(conf, str) else conf
         self.batch_size = batch_size
         self.nepochs = nepochs
