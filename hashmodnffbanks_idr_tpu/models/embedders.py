@@ -415,11 +415,21 @@ class NFFBEmbedder(Embedder):
             return jnp.sin(w0 * x)
         return jax.nn.leaky_relu(x, negative_slope=1e-2)
 
-    def _freq_encode_level(self, params, i, grid_feat):
+    def _freq_encode_all(self, params, grid_x):
+        """Frequency-encode ALL levels in one batched op.
+
+        grid_x: (L, N, level_width).  For PositionalEncodingNET every level
+        shares the same (parameter-free) transform; for FourierFeatureNET the
+        per-level B matrices are stacked into one einsum.  Replaces the
+        reference's per-level Python loop (nffb3d.py:142-144) with a single
+        VPU-friendly batched op — identical math.
+        """
         if self.freq_enc_type == "FourierFeatureNET":
-            return enc.fourier_features(grid_feat, params["ff_enc"][i]["B"], include_input=False)
+            B = jnp.stack([p["B"] for p in params["ff_enc"]])  # (L, W, F)
+            xp = (2.0 * np.pi) * jnp.einsum("lnw,lwf->lnf", grid_x, B)
+            return jnp.concatenate([jnp.sin(xp), jnp.cos(xp)], axis=-1)
         return enc.positional_encoding(
-            grid_feat, num_freqs=self.n_levels, max_freq_log2=self.n_levels - 1,
+            grid_x, num_freqs=self.n_levels, max_freq_log2=self.n_levels - 1,
             include_input=self.include_input,
         )
 
@@ -432,30 +442,37 @@ class NFFBEmbedder(Embedder):
         grid_x = grid_x.reshape(-1, self.grid_levels, self.level_width)
         grid_x = jnp.transpose(grid_x, (1, 0, 2))  # (L, N, level_width)
 
-        embeddings_list = [
-            self._freq_encode_level(params, i, grid_x[i]) for i in range(self.grid_levels)
-        ]
+        emb_all = self._freq_encode_all(params, grid_x)  # (L, N, out_width)
+        if self.style_modulation:
+            # StyleAttention batched over levels (shared params, styleMod.py:17-44)
+            mod = apply_linear(params["style"]["linear_transform"], emb_all)
+            logits = apply_linear(params["style"]["attention"], input01)  # (N, 1)
+            attention_weights = jax.nn.softmax(logits, axis=1)  # == 1.0
+            emb_all = _instance_norm_rows(attention_weights[None] * mod)
 
-        feats = None
-        x_out = None
+        # SIREN/ReLU trunk (sequential, tiny matmuls)
+        xs = []
         for layer in range(self.n_nffb_layers - 1):
             x = apply_linear(params["ff_lin"][layer], x)
             x = self._activation(x)
             if layer > 0:
-                emb = embeddings_list[layer - 1]
-                if self.style_modulation:
-                    sb = StyleAttentionBlock(self.num_inputs, self.feature_vector_size)
-                    emb = sb.apply(params["style"], input01, emb)
-                embed_feat = emb + x
-                if self.has_out:
-                    h = apply_linear(params["out_lin"][layer - 1], embed_feat)
-                    h = self._activation(h, high=True)
-                    x_out = h if x_out is None else x_out + h
-                else:
-                    proj = apply_linear(params["out_layer"], embed_feat)
-                    feats = proj if feats is None else feats + proj
+                xs.append(x)
 
-        acc = x_out if self.has_out else feats
+        used = len(xs)  # = n_nffb_layers - 2 levels actually consumed
+        embed_feat = emb_all[:used] + jnp.stack(xs)  # (used, N, out_width)
+
+        if self.has_out:
+            W = jnp.stack([p["w"] for p in params["out_lin"][:used]])
+            b = jnp.stack([p["b"] for p in params["out_lin"][:used]])
+            h = jnp.einsum("lnw,lwo->lno", embed_feat, W) + b[:, None, :]
+            acc = jnp.sum(self._activation(h, high=True), axis=0)
+        else:
+            # shared linear out_layer: sum_l (W e_l + b) == W (sum_l e_l) + used*b
+            s = jnp.sum(embed_feat, axis=0)
+            acc = apply_linear(params["out_layer"], s)
+            if used > 1:
+                acc = acc + (used - 1) * params["out_layer"]["b"]
+
         acc = acc / self.grid_levels  # nffb3d.py:187,193 (divides by L, not L-1)
         if self.include_input:
             return jnp.concatenate([input01, acc], axis=-1)

@@ -27,6 +27,14 @@ def rgb_loss(rgb_values, rgb_gt, mask, n_pixels):
     return jnp.sum(jnp.where(mask, per_ray, 0.0)) / n_pixels
 
 
+def rgb_mape_loss(rgb_values, rgb_gt, mask, n_pixels, eps: float = 1e-8):
+    """Mean-absolute-percentage-error RGB variant (loss.py:22-32; unused by
+    the reference's total but kept for parity/experiments)."""
+    ape = jnp.abs((rgb_values - rgb_gt) / jnp.where(jnp.abs(rgb_gt) < eps, eps, rgb_gt))
+    per_ray = jnp.sum(ape, axis=-1)
+    return jnp.sum(jnp.where(mask, per_ray, 0.0)) / n_pixels
+
+
 def eikonal_loss(grad_theta):
     """mean((||grad|| - 1)^2) over all eikonal samples (loss.py:35-40)."""
     norms = jnp.linalg.norm(grad_theta, axis=-1)

@@ -49,6 +49,32 @@ class LaplaceDensity:
         return jax.lax.stop_gradient(val)
 
 
+class AbsDensity:
+    """NeRF++-style |sdf| density (density_net.py:33-36)."""
+
+    def init(self, key=None):
+        return {}
+
+    def apply(self, params, sdf):
+        return jax.lax.stop_gradient(jnp.abs(sdf))
+
+
+class SimpleDensity:
+    """NeRF-style relu density with optional train-time noise
+    (density_net.py:39-48)."""
+
+    def __init__(self, noise_std: float = 1.0):
+        self.noise_std = noise_std
+
+    def init(self, key=None):
+        return {}
+
+    def apply(self, params, sdf, rng=None, training: bool = False):
+        if training and self.noise_std > 0.0 and rng is not None:
+            sdf = sdf + self.noise_std * jax.random.normal(rng, sdf.shape, sdf.dtype)
+        return jax.lax.stop_gradient(jax.nn.relu(sdf))
+
+
 # ---------------------------------------------------------------------------
 # ImplicitNetwork — the SDF + feature net (impl..._renderer.py:11-128)
 # ---------------------------------------------------------------------------

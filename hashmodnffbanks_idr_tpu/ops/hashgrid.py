@@ -260,13 +260,19 @@ def hash_encode(
     L, C = spec.num_levels, spec.level_dim
 
     floor, frac = _positions(spec, x)
-    bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
-    corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
-    rows = _level_indices(spec, corners)  # (N,L,2^D)
-    w = _interp_weights(spec, frac).astype(table.dtype)  # (N,L,2^D)
+    if spec.interpolation == "floor":
+        # reference pure-torch degenerate interp: only the floor corner
+        # contributes (weight 1) — gather 1 corner instead of 2^D.
+        rows = _level_indices(spec, floor[:, :, None, :])  # (N,L,1)
+        out = jnp.take(table, rows[..., 0], axis=0)  # (N,L,C)
+    else:
+        bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
+        corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
+        rows = _level_indices(spec, corners)  # (N,L,2^D)
+        w = _interp_weights(spec, frac).astype(table.dtype)  # (N,L,2^D)
 
-    vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
-    out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
+        vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+        out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
 
     if zero_oob and spec.variant == "ngp":
         # hashencoder.cu:131-147: inputs outside [0,1] produce zeros
