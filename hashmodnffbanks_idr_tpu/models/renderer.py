@@ -77,8 +77,16 @@ class IDRNetwork:
 
         p_impl = params["implicit_network"]
         p_impl_ng = jax.lax.stop_gradient(p_impl)
-        sdf_fast = lambda x: self.implicit_network.apply(
-            p_impl_ng, x, fast=self.tracer_fast)[..., 0]
+        if self.tracer_fast:
+            # Pallas fused-MLP kernel on TPU; interpret mode elsewhere is
+            # slower than the jnp path, so fall back to bf16 jnp off-TPU.
+            if jax.default_backend() == "tpu":
+                sdf_fast = self.implicit_network.make_fast_sdf(p_impl_ng)
+            else:
+                sdf_fast = lambda x: self.implicit_network.apply(
+                    p_impl_ng, x, fast=True)[..., 0]
+        else:
+            sdf_fast = lambda x: self.implicit_network.sdf(p_impl_ng, x)
 
         rng_trace, rng_eik = jax.random.split(rng)
         trace = ray_trace(

@@ -242,6 +242,46 @@ def _interp_weights(spec: HashGridSpec, frac: jnp.ndarray) -> jnp.ndarray:
     return jnp.prod(w, axis=-1)
 
 
+# Per-level tables at or below this row count use the one-hot-matmul lookup
+# (MXU path) instead of XLA gather; the gather path on TPU is an order of
+# magnitude slower for these shapes.
+ONEHOT_MAX_ROWS = 1024
+
+
+def _onehot_lookup(spec: HashGridSpec, rows: jnp.ndarray,
+                   w: Optional[jnp.ndarray], table: jnp.ndarray) -> jnp.ndarray:
+    """Small-table lookup as one-hot matmul (TPU MXU; any-order AD).
+
+    rows: (N, L, K) packed-table row indices; w: (N, L, K) corner weights or
+    None (floor).  The packed table is reshaped into a padded (L, Rmax, C)
+    per-level tensor; lookups become a batched (N, Rmax) x (Rmax, C) einsum
+    whose one-hot operand is a compare — the whole read is sequential-memory
+    + MXU, no random access.
+    """
+    L, C = spec.num_levels, spec.level_dim
+    sizes = spec.level_sizes()
+    offsets = spec.offsets()
+    rmax = int(sizes.max())
+
+    # padded per-level tables (L, rmax, C)
+    tabs = jnp.zeros((L, rmax, C), dtype=table.dtype)
+    for l in range(L):
+        tabs = tabs.at[l, : int(sizes[l])].set(
+            jax.lax.dynamic_slice_in_dim(table, int(offsets[l]), int(sizes[l])))
+
+    local = rows - jnp.asarray(offsets[:-1], dtype=rows.dtype)[None, :, None]  # (N,L,K)
+    iota = jnp.arange(rmax, dtype=rows.dtype)
+    K = rows.shape[-1]
+    acc = None
+    for k in range(K):
+        oh = (local[:, :, k, None] == iota[None, None, :]).astype(table.dtype)
+        if w is not None:
+            oh = oh * w[:, :, k, None]
+        acc = oh if acc is None else acc + oh
+    # (N, L, rmax) x (L, rmax, C) -> (N, L, C)
+    return jnp.einsum("nlr,lrc->nlc", acc, tabs)
+
+
 def hash_encode(
     x: jnp.ndarray,
     table: jnp.ndarray,
@@ -254,25 +294,33 @@ def hash_encode(
     Fully differentiable (incl. second order) w.r.t. both ``x`` and ``table``.
     Matches kernel_grid (hashencoder.cu:107-252) for variant='ngp' and the
     pure-torch forward (hashGridEmbedding.py:81-102,150-155) for
-    variant='torch' + interpolation='floor'.
+    variant='torch' + interpolation='floor'.  Small-table specs take the
+    one-hot MXU path (:func:`_onehot_lookup`); large tables use XLA gather.
     """
     N, D = x.shape
     L, C = spec.num_levels, spec.level_dim
+    use_onehot = int(spec.level_sizes().max()) <= ONEHOT_MAX_ROWS
 
     floor, frac = _positions(spec, x)
     if spec.interpolation == "floor":
         # reference pure-torch degenerate interp: only the floor corner
-        # contributes (weight 1) — gather 1 corner instead of 2^D.
+        # contributes (weight 1) — 1 corner instead of 2^D.
         rows = _level_indices(spec, floor[:, :, None, :])  # (N,L,1)
-        out = jnp.take(table, rows[..., 0], axis=0)  # (N,L,C)
+        if use_onehot:
+            out = _onehot_lookup(spec, rows, None, table)
+        else:
+            out = jnp.take(table, rows[..., 0], axis=0)  # (N,L,C)
     else:
         bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
         corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
         rows = _level_indices(spec, corners)  # (N,L,2^D)
         w = _interp_weights(spec, frac).astype(table.dtype)  # (N,L,2^D)
 
-        vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
-        out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
+        if use_onehot:
+            out = _onehot_lookup(spec, rows, w, table)
+        else:
+            vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+            out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
 
     if zero_oob and spec.variant == "ngp":
         # hashencoder.cu:131-147: inputs outside [0,1] produce zeros

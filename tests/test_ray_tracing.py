@@ -1,0 +1,74 @@
+"""Ray tracer correctness on an analytic sphere SDF."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hashmodnffbanks_idr_tpu.models.ray_tracing import RayTracerConfig, ray_trace
+
+
+def make_rays(n=64, radius=2.0):
+    """Camera at (0,0,radius) looking at origin; fan of rays, some hitting a
+    centered sphere and some missing."""
+    cam = jnp.asarray([[0.0, 0.0, radius]])
+    ang = np.linspace(-0.5, 0.5, n)
+    dirs = np.stack([np.sin(ang), np.zeros(n), -np.cos(ang)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return cam, jnp.asarray(dirs[None], dtype=jnp.float32)
+
+
+def test_tracer_finds_sphere_intersections():
+    r_obj = 0.5
+    sdf = lambda x: jnp.linalg.norm(x, axis=-1) - r_obj
+    cfg = RayTracerConfig(sphere_tracing_iters=20, n_steps=64, n_secant_steps=8,
+                          line_step_iters=3)
+    cam, dirs = make_rays(64)
+    obj_mask = jnp.ones(64, dtype=bool)
+    res = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
+                    training=False)
+
+    d = np.asarray(dirs[0])
+    c = np.asarray(cam[0])
+    # analytic first intersection with the r=0.5 sphere
+    b = d @ c
+    disc = b**2 - (c @ c - r_obj**2)
+    hits = disc > 0
+    t_hit = -b - np.sqrt(np.maximum(disc, 0))
+
+    got_mask = np.asarray(res.network_object_mask)
+    np.testing.assert_array_equal(got_mask, hits)
+    np.testing.assert_allclose(np.asarray(res.dists)[hits], t_hit[hits],
+                               rtol=1e-3, atol=2e-3)
+    pts = np.asarray(res.points)[hits]
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), r_obj, atol=3e-3)
+
+
+def test_tracer_training_fallbacks():
+    """Missing rays must get fallback points (min-SDF / sphere projection)."""
+    sdf = lambda x: jnp.linalg.norm(x, axis=-1) - 0.5
+    cfg = RayTracerConfig(sphere_tracing_iters=20, n_steps=64, n_secant_steps=8)
+    cam, dirs = make_rays(64)
+    obj_mask = jnp.zeros(64, dtype=bool)  # no ray is an object pixel
+    res = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
+                    training=True)
+    assert np.isfinite(np.asarray(res.points)).all()
+    assert np.isfinite(np.asarray(res.dists)).all()
+
+
+def test_tracer_nonconvex_uses_sampler():
+    """A thin shell SDF that sphere tracing overshoots -> sampler+secant path."""
+    def sdf(x):
+        r = jnp.linalg.norm(x, axis=-1)
+        return jnp.abs(r - 0.6) - 0.05  # shell at r in [0.55, 0.65]
+
+    cfg = RayTracerConfig(sphere_tracing_iters=5, n_steps=100, n_secant_steps=8)
+    cam, dirs = make_rays(32)
+    obj_mask = jnp.ones(32, dtype=bool)
+    res = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
+                    training=False)
+    hits = np.asarray(res.network_object_mask)
+    assert hits.sum() > 0
+    pts = np.asarray(res.points)[hits]
+    r = np.linalg.norm(pts, axis=-1)
+    # intersections on the outer shell boundary
+    np.testing.assert_allclose(r, 0.65, atol=5e-3)
