@@ -65,21 +65,19 @@ def main():
     jax.block_until_ready(state["params"])
     compile_time = time.time() - t0
 
-    # timed steps, blocked individually (async-chain timing under-reports)
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
-    times = []
+    # wall-clock over many steps, ending with a host fetch that depends on
+    # the final state (per-step block_until_ready under-reports on this
+    # platform; total wall time with a dependent host readback cannot lie)
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    t0 = time.time()
     for i in range(2, 2 + n_steps):
         k = jax.random.fold_in(rng, i)
-        pix = pix_fn(k)
-        pix.block_until_ready()
-        t0 = time.time()
-        state, losses = step(state, scene, img_idx, pix, k, alpha)
-        jax.block_until_ready(state["params"])
-        times.append(time.time() - t0)
-    dt = float(np.median(times)) * n_steps
+        state, losses = step(state, scene, img_idx, pix_fn(k), k, alpha)
+    loss = float(losses["loss"])  # device->host readback forces completion
+    _ = float(jax.tree_util.tree_leaves(state["params"])[0].ravel()[0])
+    dt = time.time() - t0
 
-    rays_per_s = num_pixels / float(np.median(times))
-    loss = float(losses["loss"])
+    rays_per_s = n_steps * num_pixels / dt
 
     baseline = 1.0
     vs = 1.0

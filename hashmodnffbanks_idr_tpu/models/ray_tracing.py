@@ -153,8 +153,15 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
     pts_e0 = cam + acc_e0[:, None] * dirs
     curr_pts0 = jnp.where(unfin_s0[:, None], pts_s0, 0.0)
 
-    next_s0 = jnp.where(unfin_s0, sdf(pts_s0), 0.0)
-    next_e0 = jnp.where(unfin_e0, sdf(pts_e0), 0.0)
+    def sdf2(pa, pb):
+        """One batched SDF call for the start+end ray families — halves the
+        number of sequential kernel launches in the tracing loop."""
+        v = sdf(jnp.concatenate([pa, pb], axis=0))
+        return v[: pa.shape[0]], v[pa.shape[0]:]
+
+    s0, e0 = sdf2(pts_s0, pts_e0)
+    next_s0 = jnp.where(unfin_s0, s0, 0.0)
+    next_e0 = jnp.where(unfin_e0, e0, 0.0)
 
     def clamp(v):
         return jnp.where(v <= cfg.sdf_threshold, 0.0, v)
@@ -180,8 +187,9 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
         pts_s = cam + acc_s[:, None] * dirs
         pts_e = cam + acc_e[:, None] * dirs
 
-        next_s = jnp.where(unfin_s, sdf(pts_s), 0.0)
-        next_e = jnp.where(unfin_e, sdf(pts_e), 0.0)
+        sv, ev = sdf2(pts_s, pts_e)
+        next_s = jnp.where(unfin_s, sv, 0.0)
+        next_e = jnp.where(unfin_e, ev, 0.0)
 
         # line-search backstep for overshoot (ray_tracing.py:164-183)
         def ls_cond(ls):
@@ -195,8 +203,9 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
             acc_e = jnp.where(not_pe, acc_e + step * curr_e, acc_e)
             p_s = cam + acc_s[:, None] * dirs
             p_e = cam + acc_e[:, None] * dirs
-            next_s = jnp.where(not_ps, sdf(p_s), next_s)
-            next_e = jnp.where(not_pe, sdf(p_e), next_e)
+            sv, ev = sdf2(p_s, p_e)
+            next_s = jnp.where(not_ps, sv, next_s)
+            next_e = jnp.where(not_pe, ev, next_e)
             return (k + 1, next_s < 0, next_e < 0, acc_s, acc_e, next_s, next_e)
 
         ls0 = (jnp.int32(0), next_s < 0, next_e < 0, acc_s, acc_e, next_s, next_e)
