@@ -67,12 +67,48 @@ def render_disentangled(
         sample = dict(sample)
         sample["pose"] = pose[None]
         sample["object_mask"] = np.zeros_like(sample["object_mask"])  # empty masks
-        ev_pose_backup = ev.dataset.pose_all
         view = _render_with_pose(ev, sample)
         rgb = ((view + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         cv2.imwrite(os.path.join(out_dir, f"frame_{i:03d}.png"),
                     cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
     return out_dir
+
+
+def main(argv=None):
+    """CLI parity with code/evaluation/eval_disentanglement.py."""
+    import argparse
+
+    from ..config.hocon import parse_file
+    from ..models.renderer import IDRNetwork
+    from ..train import checkpoints as ckpt
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--conf", required=True)
+    p.add_argument("--geometry_run_dir", required=True,
+                   help="run dir providing the SDF (checkpoints/latest)")
+    p.add_argument("--appearance_run_dir", required=True,
+                   help="run dir providing the rendering network")
+    p.add_argument("--out_dir", default="evals_disentanglement")
+    p.add_argument("--n_frames", type=int, default=10)
+    p.add_argument("--scan_id", type=int, default=-1)
+    p.add_argument("--data_root", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    from flax import serialization
+
+    conf = parse_file(args.conf)
+    model = IDRNetwork(conf.get_config("model"))
+    template = model.init(jax.random.PRNGKey(0))
+
+    def load(run_dir):
+        raw = ckpt.load_checkpoint(f"{run_dir}/checkpoints")
+        return serialization.from_state_dict(template, raw["params"])
+
+    render_disentangled(conf, load(args.geometry_run_dir),
+                        load(args.appearance_run_dir), args.out_dir,
+                        n_frames=args.n_frames, data_root=args.data_root,
+                        scan_id=args.scan_id)
 
 
 def _render_with_pose(ev: Evaluator, sample) -> np.ndarray:
@@ -99,3 +135,5 @@ def _render_with_pose(ev: Evaluator, sample) -> np.ndarray:
         out = ev._render_tile(ev.params, inputs)
         rgb_out[s:e] = np.asarray(out["rgb_values"])[: e - s]
     return rgb_out.reshape(H, W, 3)
+if __name__ == "__main__":
+    main()

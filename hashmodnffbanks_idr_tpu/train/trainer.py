@@ -308,6 +308,10 @@ class IDRTrainRunner:
                     jnp.asarray(alpha, dtype=jnp.float32),
                 )
                 step_count += 1
+                if i % 8 == 7:
+                    # periodic host readback: keeps the async queue shallow
+                    # (very deep unsynced queues degrade this runtime)
+                    float(losses["loss"])
             if losses is not None:
                 host_losses = {k: float(v) for k, v in losses.items()}
                 dt = time.time() - t0
@@ -323,6 +327,41 @@ class IDRTrainRunner:
         self.state = state
         self.logger.close()
         return state
+
+    # ------------------------------------------------------------------
+    def validation_loss_slope(self, out_path: Optional[str] = None):
+        """Mean-loss-per-epoch slope plot (idr_train.py:340-359 role), from
+        the run's scalars.jsonl; falls back to printing when matplotlib is
+        unavailable."""
+        import json as _json
+
+        log_path = os.path.join(self.rundir, "logs", "scalars.jsonl")
+        rows = [(_json.loads(l)) for l in open(log_path)] if os.path.exists(log_path) else []
+        if not rows:
+            return None
+        steps = [r["step"] for r in rows]
+        losses = [r.get("loss", float("nan")) for r in rows]
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            embed_type = self.conf.get_string("model.embedding_network.embed_type", "none")
+            plt.figure()
+            plt.plot(steps, losses,
+                     label=f"IDR with {embed_type} Embedding Network Loss")
+            plt.xlabel("Epochs")
+            plt.ylabel("Loss")
+            plt.legend()
+            out = out_path or os.path.join(
+                self.plots_dir, f"loss_plot_{embed_type}_EpochStamp{steps[-1]}.png")
+            plt.savefig(out)
+            plt.close()
+            return out
+        except ImportError:
+            print("validation slope:", list(zip(steps[-10:], losses[-10:])))
+            return None
 
     # ------------------------------------------------------------------
     def _plot(self, state, epoch):

@@ -50,10 +50,8 @@ def render_in_tiles(
         tile_inputs["uv"] = jnp.asarray(uv_t)
         tile_inputs["object_mask"] = jnp.asarray(mask_t)
         out = render_fn(tile_inputs)
-        outs.append({k: np.asarray(v)[:size if np.asarray(v).shape[0] == tile else None]
-                     for k, v in out.items()})
-        # note: outputs are flattened over rays (tile,) or (tile, C)
-        outs[-1] = {k: np.asarray(v)[:size] for k, v in out.items()}
+        # outputs are flattened over rays: (tile,) or (tile, C); drop padding
+        outs.append({k: np.asarray(v)[:size] for k, v in out.items()})
     merged = {}
     for k in outs[0]:
         merged[k] = np.concatenate([o[k] for o in outs], axis=0)
