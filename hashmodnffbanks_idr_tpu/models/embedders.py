@@ -433,7 +433,8 @@ class NFFBEmbedder(Embedder):
             include_input=self.include_input,
         )
 
-    def apply(self, params, inp):
+    def apply(self, params, inp, fast: bool = False):
+        cdt = jnp.bfloat16 if fast else None  # tracer-only mixed precision
         x = inp / self.bound                       # nffb3d.py:131
         input01 = (inp + self.bound) / (2 * self.bound)
 
@@ -445,7 +446,8 @@ class NFFBEmbedder(Embedder):
         emb_all = self._freq_encode_all(params, grid_x)  # (L, N, out_width)
         if self.style_modulation:
             # StyleAttention batched over levels (shared params, styleMod.py:17-44)
-            mod = apply_linear(params["style"]["linear_transform"], emb_all)
+            mod = apply_linear(params["style"]["linear_transform"], emb_all,
+                               compute_dtype=cdt)
             logits = apply_linear(params["style"]["attention"], input01)  # (N, 1)
             attention_weights = jax.nn.softmax(logits, axis=1)  # == 1.0
             emb_all = _instance_norm_rows(attention_weights[None] * mod)
@@ -453,7 +455,7 @@ class NFFBEmbedder(Embedder):
         # SIREN/ReLU trunk (sequential, tiny matmuls)
         xs = []
         for layer in range(self.n_nffb_layers - 1):
-            x = apply_linear(params["ff_lin"][layer], x)
+            x = apply_linear(params["ff_lin"][layer], x, compute_dtype=cdt)
             x = self._activation(x)
             if layer > 0:
                 xs.append(x)
@@ -469,7 +471,7 @@ class NFFBEmbedder(Embedder):
         else:
             # shared linear out_layer: sum_l (W e_l + b) == W (sum_l e_l) + used*b
             s = jnp.sum(embed_feat, axis=0)
-            acc = apply_linear(params["out_layer"], s)
+            acc = apply_linear(params["out_layer"], s, compute_dtype=cdt)
             if used > 1:
                 acc = acc + (used - 1) * params["out_layer"]["b"]
 

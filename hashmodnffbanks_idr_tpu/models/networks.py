@@ -178,7 +178,7 @@ class ImplicitNetwork:
         resolution cannot survive bf16)."""
         cdt = jnp.bfloat16 if fast else None
         if self.embedder is not None:
-            inp = self.embedder.apply(params["embed"], x)
+            inp = self._embed(params["embed"], x, fast)
         else:
             inp = x
         h = inp
@@ -195,32 +195,64 @@ class ImplicitNetwork:
         sdf = jnp.tanh(sdf_raw / (2.0 + dens))
         return jnp.concatenate([sdf[..., None], h[..., 1:]], axis=-1)
 
+    def _embed(self, p_embed, x, fast: bool):
+        if fast:
+            try:
+                return self.embedder.apply(p_embed, x, fast=True)
+            except TypeError:
+                pass
+        return self.embedder.apply(p_embed, x)
+
     def sdf(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, x)[..., 0]
 
     def make_fast_sdf(self, params, interpret: bool = False):
         """SDF closure for the gradient-stopped tracer.
 
-        Uses the Pallas fused-MLP kernel (ops/fused_mlp.py) when the
-        architecture matches the standard IDR shape; otherwise the bf16
-        mixed-precision jnp path.  Weights are packed once per call site, not
-        per SDF evaluation, so the while-loop bodies only run the kernel.
+        Preference order: (1) fully-fused NFFB-encoder+MLP Pallas kernel
+        (ops/fused_nffb.py) for the flagship StyleModNFFB/FFB shapes, (2) the
+        fused-MLP-only kernel (ops/fused_mlp.py) with a jnp encoder, (3) the
+        bf16 mixed-precision jnp path.  Weights are packed once per call
+        site, not per SDF evaluation, so the while-loop bodies only run the
+        kernel.
         """
+        import os
+
         from ..ops import fused_mlp as fm
+        from ..ops import fused_nffb as fn
 
-        if fm.supports_fusion(self.dims, self.skip_in):
-            packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
+        if not fm.supports_fusion(self.dims, self.skip_in):
+            return lambda x: self.apply(params, x, fast=True)[..., 0]
 
-            def sdf_fast(x):
-                inp = (self.embedder.apply(params["embed"], x)
-                       if self.embedder is not None else x)
-                raw = fm.fused_sdf_raw(inp, packed, self.dims[0], self.dims[1],
-                                       interpret=interpret)
+        packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
+
+        use_nffb = (
+            os.environ.get("HMNFFB_FUSED_ENCODER", "1") != "0"
+            and fn.supports_nffb_fusion(self.embedder, self.dims, self.skip_in)
+        )
+        if use_nffb:
+            nffb_packed = fn.pack_nffb(
+                self.embedder, params["embed"],
+                d_in_pad=packed["w_in"].shape[0], hidden=self.dims[1])
+
+            def sdf_fast_full(x):
+                raw = fn.fused_nffb_sdf_raw(
+                    x, self.embedder, params["embed"], nffb_packed, packed,
+                    self.dims[0], self.dims[1], interpret=interpret)
                 dens = self.density.apply(params["density"], raw)
                 return jnp.tanh(raw / (2.0 + dens))
 
-            return sdf_fast
-        return lambda x: self.apply(params, x, fast=True)[..., 0]
+            return sdf_fast_full
+
+        def sdf_fast(x):
+            inp = (self._embed(params["embed"], x, fast=True)
+                   if self.embedder is not None else x)
+            raw = fm.fused_sdf_raw(inp, packed, self.dims[0], self.dims[1],
+                                   interpret=interpret)
+            dens = self.density.apply(params["density"], raw)
+            return jnp.tanh(raw / (2.0 + dens))
+
+        return sdf_fast
 
     def gradient(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """Per-point ∂sdf/∂x via one batched vjp (composable: differentiating

@@ -18,4 +18,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: the suite is compile-bound on CPU; repeat
+# runs become fast
+from hashmodnffbanks_idr_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.expanduser("~/.cache/hmnffb_test_xla_cache"))
+
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
