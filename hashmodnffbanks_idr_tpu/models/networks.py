@@ -226,8 +226,13 @@ class ImplicitNetwork:
 
         packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
 
+        # A/B on TPU v5e: the mega-kernel measured 17.2 ms vs 15.0 ms for the
+        # jnp one-hot encoder + fused-MLP split at 204k points (XLA already
+        # fuses the encoder well; the mega-kernel's VMEM footprint limits
+        # pipelining), so the split path is the default.  Flip with
+        # HMNFFB_FUSED_ENCODER=1.
         use_nffb = (
-            os.environ.get("HMNFFB_FUSED_ENCODER", "1") != "0"
+            os.environ.get("HMNFFB_FUSED_ENCODER", "0") == "1"
             and fn.supports_nffb_fusion(self.embedder, self.dims, self.skip_in)
         )
         if use_nffb:

@@ -18,7 +18,8 @@ sin/cos under constant lane masks — everything stays 128-lane wide.
 
 Scope: flagship FFB/StyleModNFFB (torch grid floor lookup, posenc, SIREN,
 has_out=False, include_input=True) + standard 8x512/skip-4 ImplicitNetwork.
-Gated by HMNFFB_FUSED_ENCODER (default on for TPU; interpret-mode tested).
+Gated by HMNFFB_FUSED_ENCODER=1 (default off: the split jnp-encoder +
+fused-MLP path measured faster on v5e; see models/networks.make_fast_sdf).
 """
 
 from __future__ import annotations
