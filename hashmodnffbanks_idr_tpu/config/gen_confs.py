@@ -86,15 +86,17 @@ EMBED_TEMPLATE = """    embedding_network {{
 """
 
 # variant dir -> (embed_type, viewdirs_fixed, viewdirs_trained, log2, base_res,
-#                 bound, mask_weight_fixed)
+#                 bound, mask_weight_fixed) — viewdirs values mirror the
+#                 reference conf tree exactly (grep over
+#                 confs/embedder_conf_var/*/dtu_{fixed,trained}_cameras.conf)
 VARIANTS = {
     "CUDA_HashGrid": ("HashGridCUDA", "HashGridCUDA", "SHEncoder", 15, 16, 1.0, 100.0),
-    "FFB": ("FFB", "FFB", "SHEncoder", 5, 16, 0.45, 200.0),
+    "FFB": ("FFB", "FFB", "FFB", 5, 16, 0.45, 200.0),
     "FFB_StyleMod": ("StyleModNFFB", "StyleModNFFB", "SHEncoder", 5, 16, 0.45, 200.0),
-    "FFB_TCNN": ("FFBTcnn", "FFBTcnn", "SHEncoder", 15, 16, 0.45, 200.0),
-    "FourierFeatures": ("FourierFeatures", "FourierFeatures", "SHEncoder", 5, 16, 0.45, 200.0),
-    "HashGrid_TCNN_PointsAndViewDirs": ("HashGridTcnn", "HashGridTcnn", "SHEncoder", 15, 16, 1.0, 100.0),
-    "MultiResHashPointsAndViewDirs": ("HashGrid", "HashGrid", "SHEncoder", 5, 8, 1.0, 200.0),
+    "FFB_TCNN": ("FFBTcnn", "FFBTcnn", "NerfPos", 15, 16, 0.45, 200.0),
+    "FourierFeatures": ("FourierFeatures", "FourierFeatures", "NerfPos", 5, 16, 0.45, 200.0),
+    "HashGrid_TCNN_PointsAndViewDirs": ("HashGridTcnn", "NerfPos", "NerfPos", 15, 16, 1.0, 100.0),
+    "MultiResHashPointsAndViewDirs": ("HashGrid", "HashGrid", "HashGrid", 5, 8, 1.0, 200.0),
     "MultiResHashPointsPosencViews": ("HashGrid", "NerfPos", "NerfPos", 5, 64, 1.0, 100.0),
     "PosEnc": ("NerfPos", "NerfPos", "NerfPos", 5, 16, 1.0, 100.0),
 }
