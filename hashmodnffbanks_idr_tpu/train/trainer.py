@@ -50,21 +50,23 @@ def sparse_adam_init(pose_vecs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {
         "m": jnp.zeros_like(pose_vecs),
         "v": jnp.zeros_like(pose_vecs),
-        "step": jnp.zeros(pose_vecs.shape[0], dtype=jnp.int32),
+        "step": jnp.zeros((), dtype=jnp.int32),
     }
 
 
 def sparse_adam_update(pose_vecs, grads, state, touched_rows, lr,
                        b1=0.9, b2=0.999, eps=1e-8):
-    """torch SparseAdam semantics: moments and bias-correction step counts
-    advance only for rows that received gradients this step."""
+    """torch SparseAdam semantics: moments advance only for rows that
+    received gradients this step; the bias-correction step count is global
+    (incremented every optimizer step) — golden-tested vs
+    torch.optim.SparseAdam."""
     V = pose_vecs.shape[0]
     touched = jnp.zeros(V, dtype=bool).at[touched_rows].set(True)
     tcol = touched[:, None]
-    step = state["step"] + touched.astype(jnp.int32)
+    step = state["step"] + 1
     m = jnp.where(tcol, b1 * state["m"] + (1 - b1) * grads, state["m"])
     v = jnp.where(tcol, b2 * state["v"] + (1 - b2) * grads**2, state["v"])
-    stepf = jnp.maximum(step, 1).astype(pose_vecs.dtype)[:, None]
+    stepf = step.astype(pose_vecs.dtype)
     mhat = m / (1 - b1**stepf)
     vhat = v / (1 - b2**stepf)
     upd = -lr * mhat / (jnp.sqrt(vhat) + eps)
