@@ -26,11 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config.hocon import Config
-from ..data.scene_dataset import SceneDataset, rgb_to_pm1
+from ..data.scene_dataset import SceneDataset
 from ..models.metrics import lpips_or_none, masked_psnr, ssim
 from ..models.renderer import IDRNetwork
 from ..utils.ply import write_ply
-from .surface import get_surface_high_res_mesh, largest_component
+from .surface import get_surface_high_res_mesh
 
 
 class Evaluator:

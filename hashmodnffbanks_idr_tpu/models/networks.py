@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linear import (apply_linear, normal_linear, softplus,
-                          torch_default_linear, uniform_linear, weight_normalize)
+                          torch_default_linear, weight_normalize)
 from ..ops import encodings as enc
-from .embedders import Embedder, PosEncEmbedder, SHEmbedder, build_embedder
+from .embedders import Embedder, SHEmbedder, build_embedder
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ Key departures from the reference (same math, static shapes):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

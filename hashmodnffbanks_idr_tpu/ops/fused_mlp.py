@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

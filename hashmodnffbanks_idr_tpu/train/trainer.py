@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import time
 from datetime import datetime
-from functools import partial
+
 from typing import Any, Dict, Optional
 
 import numpy as np
