@@ -13,15 +13,22 @@ import jax.numpy as jnp
 
 
 def _mean_std(feat: jnp.ndarray, eps: float = 1e-5):
-    """Per-(batch, channel) spatial statistics; feat (N, C, L)."""
-    mean = jnp.mean(feat, axis=-1, keepdims=True)
-    var = jnp.var(feat, axis=-1, keepdims=True)
-    return mean, jnp.sqrt(var + eps)
+    """Per-(batch, channel) spatial statistics over all trailing dims.
+
+    Matches the reference's calc_mean_std (style_function.py:5-13): torch
+    ``.var`` default is the *unbiased* estimator.
+    """
+    flat = feat.reshape(feat.shape[0], feat.shape[1], -1)
+    n = flat.shape[-1]
+    mean = jnp.mean(flat, axis=-1)
+    var = jnp.sum((flat - mean[..., None]) ** 2, axis=-1) / jnp.maximum(n - 1, 1)
+    shape = feat.shape[:2] + (1,) * (feat.ndim - 2)
+    return mean.reshape(shape), jnp.sqrt(var + eps).reshape(shape)
 
 
 def adaptive_instance_normalization(content: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """AdaIN (style_function.py:16-24): normalize content stats, re-scale with
-    style stats.  content/style: (N, C, L)."""
+    style stats.  content/style: (N, C, *spatial)."""
     c_mean, c_std = _mean_std(content)
     s_mean, s_std = _mean_std(style)
     return (content - c_mean) / c_std * s_std + s_mean
