@@ -371,11 +371,16 @@ class IDRTrainRunner:
         from ..eval.evaluator import Evaluator
         from ..eval.plots import plot_epoch
 
-        ev = Evaluator(
-            self.conf, state["params"], train_cameras=self.train_cameras,
-            pose_vecs=state.get("pose_vecs"),
-            dataset=self.train_dataset, tile=4096,
-        )
+        ev = getattr(self, "_plot_ev", None)
+        if ev is None:
+            ev = Evaluator(
+                self.conf, state["params"], train_cameras=self.train_cameras,
+                pose_vecs=state.get("pose_vecs"),
+                dataset=self.train_dataset, tile=4096,
+            )
+            self._plot_ev = ev  # reuse the jitted render across plot epochs
+        ev.params = state["params"]
+        ev.pose_vecs = state.get("pose_vecs")
         idx = int(np.random.default_rng(epoch).integers(self.n_images))
         view = ev.render_view(idx)
         p_impl = state["params"]["implicit_network"]
