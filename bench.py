@@ -67,13 +67,21 @@ def main():
 
     # wall-clock windows with a dependent host readback at each window end
     # (per-step block_until_ready under-reports on this platform; very deep
-    # unsynced queues degrade it).  The best window is reported — the device's
-    # steady-state capability — since the remote-TPU service throughput
-    # fluctuates; per-window numbers go to stderr.
+    # unsynced queues degrade it).  The first post-compile steps can run
+    # pathologically slowly on this remote-TPU runtime (observed ~38 s/step
+    # before snapping to steady state), so a short flush window absorbs that
+    # transient; the best timed window — the device's steady-state capability
+    # — is reported, per-window numbers go to stderr.
+    i = 2
+    for _ in range(int(os.environ.get("BENCH_FLUSH_STEPS", "4"))):
+        k = jax.random.fold_in(rng, i)
+        state, losses = step(state, scene, img_idx, pix_fn(k), k, alpha)
+        float(losses["loss"])
+        i += 1
+
     n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     win_steps = int(os.environ.get("BENCH_STEPS", "20"))
     window_times = []
-    i = 2
     for _ in range(n_windows):
         t0 = time.time()
         for _ in range(win_steps):
