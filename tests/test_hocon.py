@@ -77,3 +77,19 @@ def test_parse_real_reference_conf():
     assert c.get_int("train.num_pixels") == 2048
     assert c.get_string("model.embedding_network.embed_type") == "StyleModNFFB"
     assert c.get_int("model.embedding_network.desired_resolution") == 512
+
+
+def test_parse_every_reference_and_own_conf():
+    import glob
+    import os
+
+    paths = glob.glob("/root/reference/code/confs/**/*.conf", recursive=True)
+    paths += glob.glob(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "hashmodnffbanks_idr_tpu", "config", "confs", "**", "*.conf"),
+        recursive=True)
+    assert paths
+    for p in paths:
+        c = hocon.parse_file(p)
+        assert c.get_int("train.num_pixels", 2048) > 0, p
+        assert "model" in c, p
