@@ -124,7 +124,7 @@ def _kernel(x_ref, w_in_ref, b_in_ref, w_mid_ref, b_mid_ref, w_out_ref,
 
 
 def fused_sdf_raw(x_embedded: jnp.ndarray, packed: dict, d_in: int,
-                  hidden: int = 512, tile: int = 512,
+                  hidden: int = 512, tile: int = 1024,
                   interpret: bool = False) -> jnp.ndarray:
     """x_embedded (N, d_in) -> raw SDF channel (N,) before the Laplace clamp.
 

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Time the training step's components on the current device.
+
+Splits the flagship workload (bench.py shape) into: tracer, fused-sweep SDF,
+AD forward, eikonal double-grad, rendering, loss+grad, optimizer — so perf
+work can target the dominant stage instead of guessing.
+
+    python scripts/step_breakdown.py [--num-pixels 2048] [--reps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _force(out):
+    """Host readback of one element — block_until_ready under-reports on the
+    remote-TPU runtime (see bench.py), a D2H readback does not."""
+    import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def timeit(fn, *args, reps=20, warmup=2):
+    for _ in range(warmup):
+        _force(fn(*args))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    _force(out)
+    return (time.time() - t0) / reps * 1000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-pixels", type=int, default=2048)
+    p.add_argument("--reps", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hashmodnffbanks_idr_tpu.geometry.cameras import get_camera_params
+    from hashmodnffbanks_idr_tpu.models.loss import IDRLossConfig, idr_loss
+    from hashmodnffbanks_idr_tpu.models.ray_tracing import ray_trace
+    from hashmodnffbanks_idr_tpu.models.renderer import IDRNetwork
+    from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene
+    from hashmodnffbanks_idr_tpu.train.trainer import build_train_step
+    from hashmodnffbanks_idr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    R = args.num_pixels
+    conf = flagship_conf(num_pixels=R, small=False)
+    model = IDRNetwork(conf.get_config("model"))
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    state = {"params": params, "opt_state": optimizer.init(params)}
+    scene_np = synthetic_scene(n_views=2, img_res=(1200, 1600), seed=0)
+    scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+    rng = jax.random.PRNGKey(1)
+    pix = jax.random.choice(rng, 1200 * 1600, (R,), replace=False)
+
+    # build the model inputs exactly as the trainer does
+    uv_full = scene["uv"]
+    inputs = {
+        "intrinsics": scene["intrinsics"][0:1],
+        "uv": uv_full[pix][None],
+        "pose": scene["pose"][0:1],
+        "object_mask": scene["mask"][0][pix][None],
+    }
+    rgb_gt = scene["rgb"][0][pix][None]
+
+    reps = args.reps
+    rows = []
+
+    # 1. full train step
+    step = build_train_step(model, IDRLossConfig(0.1, 200.0, 50.0), optimizer)
+    img_idx = jnp.asarray([0], dtype=jnp.int32)
+    alpha = jnp.asarray(50.0)
+    holder = {"state": state}
+
+    def f_step():
+        holder["state"], losses = step(holder["state"], scene, img_idx, pix, rng, alpha)
+        return losses["loss"]
+
+    rows.append(("full train step", timeit(f_step, reps=reps)))
+    params = holder["state"]["params"]  # re-point: original params were donated
+
+    # 2. loss fwd only (no grad)
+    loss_cfg = IDRLossConfig(0.1, 200.0, 50.0)
+
+    def fwd_loss(params, inputs, rgb_gt, rng, alpha):
+        out = model.apply(params, inputs, rng, training=True)
+        losses = idr_loss(loss_cfg, out, rgb_gt, alpha)
+        return losses["loss"]
+
+    f_fwd = jax.jit(fwd_loss)
+    rows.append(("forward+loss (no bwd)",
+                 timeit(f_fwd, params, inputs, rgb_gt, rng, alpha, reps=reps)))
+
+    # 3. value_and_grad (no optimizer)
+    f_vg = jax.jit(lambda p, i, g, r, a: jax.value_and_grad(fwd_loss)(p, i, g, r, a)[0])
+    rows.append(("fwd+bwd (no opt)",
+                 timeit(f_vg, params, inputs, rgb_gt, rng, alpha, reps=reps)))
+
+    # 4. tracer only (fast SDF, stop-grad)
+    p_ng = jax.lax.stop_gradient(params["implicit_network"])
+    if jax.default_backend() == "tpu":
+        sdf_fast = model.implicit_network.make_fast_sdf(p_ng)
+    else:
+        sdf_fast = lambda x: model.implicit_network.apply(p_ng, x, fast=True)[..., 0]
+
+    @jax.jit
+    def tracer_only(inputs, rng):
+        ray_dirs, cam_loc = get_camera_params(
+            inputs["uv"], inputs["pose"], inputs["intrinsics"])
+        mask = inputs["object_mask"].reshape(-1).astype(bool)
+        tr = ray_trace(model.ray_tracer, sdf_fast, cam_loc, mask, ray_dirs, rng,
+                       training=True)
+        return tr.points
+
+    rows.append(("tracer total", timeit(tracer_only, inputs, rng, reps=reps)))
+
+    # 5. fused sweep SDF alone (R*100 points, fast path)
+    pts_sweep = jax.random.normal(rng, (R * 100, 3)) * 0.3
+    f_sweep = jax.jit(lambda x: sdf_fast(x))
+    rows.append((f"sweep sdf_fast ({R*100} pts)", timeit(f_sweep, pts_sweep, reps=reps)))
+
+    # 6. sphere-trace loop proxy: 2*R-point fast SDF x ~13 sequential calls
+    pts_small = pts_sweep[: 2 * R]
+    rows.append((f"sdf_fast ({2*R} pts) x1", timeit(f_sweep, pts_small, reps=reps)))
+
+    # 7. AD forward (full f32 apply) at R points
+    pts_r = pts_sweep[:R]
+    f_ad = jax.jit(lambda x: model.implicit_network.apply(params["implicit_network"], x))
+    rows.append((f"implicit AD fwd ({R})", timeit(f_ad, pts_r, reps=reps)))
+
+    # 8. gradient (vjp) at 1.5*R points
+    pts_g = pts_sweep[: R + R // 2]
+    f_g = jax.jit(lambda x: model.implicit_network.gradient(params["implicit_network"], x))
+    rows.append((f"implicit vjp grad ({R + R//2})", timeit(f_g, pts_g, reps=reps)))
+
+    # 9. eikonal double grad: d/dparams of sum(|grad|) at 1.5*R
+    def eik(p, x):
+        g = model.implicit_network.gradient(p, x)
+        return jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    f_eik = jax.jit(lambda p, x: jax.tree_util.tree_leaves(jax.grad(eik)(p, x))[0].ravel()[0])
+    rows.append((f"eikonal 2nd-order bwd ({R + R//2})", timeit(f_eik, params["implicit_network"], pts_g, reps=reps)))
+
+    # 10. rendering net at R points
+    f_rgb = jax.jit(lambda x: model.rendering_network.apply(
+        params["rendering_network"], x, x, x, jnp.zeros((R, 256))))
+    rows.append((f"rendering fwd ({R})", timeit(f_rgb, pts_r, reps=reps)))
+
+    w = max(len(r[0]) for r in rows)
+    for name, ms in rows:
+        print(f"{name:<{w}}  {ms:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
