@@ -15,6 +15,7 @@ from typing import Dict
 import numpy as np
 
 from ..utils.ply import write_ply
+from .html_viewer import write_scene_html
 from .surface import get_surface_mesh
 
 
@@ -72,4 +73,7 @@ def plot_epoch(
     verts, faces = get_surface_mesh(sdf_fn, resolution=resolution)
     if len(verts):
         write_ply(os.path.join(plots_dir, f"surface_{epoch}.ply"), verts, faces)
+        # standalone interactive HTML scene (reference: plotly offline HTML)
+        write_scene_html(os.path.join(plots_dir, f"surface_{epoch}.html"),
+                         verts, faces, poses, title=f"epoch {epoch}")
     camera_frustum_ply(os.path.join(plots_dir, f"cameras_{epoch}.ply"), poses)

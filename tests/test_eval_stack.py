@@ -133,3 +133,29 @@ def test_camera_alignment_recovers_transform():
     res = camera_alignment(pred_R, Rs, pred_t, ts)
     assert res["rot_err_mean"] < 1e-4
     assert res["t_err_mean"] < 1e-6
+
+
+def test_scene_html_viewer(tmp_path):
+    """The standalone HTML scene artifact embeds the exact geometry."""
+    import base64
+    import json
+    import re
+
+    from hashmodnffbanks_idr_tpu.eval.html_viewer import write_scene_html
+
+    rng = np.random.default_rng(0)
+    verts = rng.random((50, 3)).astype(np.float32)
+    faces = rng.integers(0, 50, (80, 3))
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    path = str(tmp_path / "scene.html")
+    write_scene_html(path, verts, faces, poses, title="test scene")
+
+    html = open(path).read()
+    assert "webgl" in html and "test scene" in html
+    scene = json.loads(re.search(r"const SCENE = (\{.*?\});\n", html, re.S).group(1))
+    v = np.frombuffer(base64.b64decode(scene["verts"]), np.float32).reshape(-1, 3)
+    f = np.frombuffer(base64.b64decode(scene["faces"]), np.uint32).reshape(-1, 3)
+    segs = np.frombuffer(base64.b64decode(scene["cam_segs"]), np.float32)
+    assert np.allclose(v, verts) and (f == faces).all()
+    assert segs.shape == (4 * 8 * 2 * 3,)  # 4 frusta x 8 segments x 2 pts
+    assert scene["radius"] > 0

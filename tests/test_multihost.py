@@ -1,0 +1,59 @@
+"""Real multi-process bring-up: two local CPU processes join one
+jax.distributed runtime over a localhost coordinator and run the
+bring-up script (cross-host psum + data-sharded train-shaped step).
+
+This is the harness the round-1 roadmap called for: it validates the
+process-join path, global-mesh construction, per-host disjoint data
+shards (`make_array_from_process_local_data`), and XLA-inserted
+cross-process collectives — everything multi-host TPU training needs
+except the physical DCN.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(ROOT, "scripts", "multihost_bringup.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_bringup():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SCRIPT,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--platform", "cpu", "--cpu-devices", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=ROOT)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "BRINGUP_OK procs=2 devices=4 psum=4" in out, out
+    # identical global loss on both hosts => the shards really joined
+    losses = {line.split("loss=")[1].strip()
+              for out in outs for line in out.splitlines()
+              if line.startswith("BRINGUP_OK")}
+    assert len(losses) == 1, losses
