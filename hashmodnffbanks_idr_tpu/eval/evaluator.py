@@ -182,7 +182,6 @@ def camera_alignment(pred_Rs: np.ndarray, gt_Rs: np.ndarray,
 
     # similarity on camera centers: gt ~ s * (pred @ Q') + t
     pred_c = pred_ts @ Q
-    A = np.concatenate([pred_c.reshape(-1, 1) * 0 + 1, pred_c.reshape(-1, 1)], axis=1)
     # solve per-axis scale+shift jointly: gt = s*pred + t (shared s, per-axis t)
     n = len(pred_c)
     X = np.zeros((3 * n, 4))

@@ -223,6 +223,8 @@ def write_scene_html(
         "center": center,
         "radius": radius,
     }
-    html = _TEMPLATE.format(title=title, scene_json=json.dumps(scene))
+    import html as _html
+
+    html = _TEMPLATE.format(title=_html.escape(title), scene_json=json.dumps(scene))
     with open(path, "w") as f:
         f.write(html)

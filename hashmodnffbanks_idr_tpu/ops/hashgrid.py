@@ -24,8 +24,8 @@ TPU design: all levels are packed into a single ``[total_rows, C]`` table with
 static per-level offsets; the forward is one batched gather + weighted
 reduction (vectorized over levels — no per-level Python loop in the hot path),
 and the backward is XLA scatter-add, fully twice-differentiable (the eikonal
-term needs grad-of-grad through the encoder, SURVEY.md §3.2).  A Pallas fast
-path for the no-grad sphere-tracing loop lives in ops/hashgrid_pallas.py.
+term needs grad-of-grad through the encoder, SURVEY.md §3.2).  Small tables
+(≤1024 rows/level) additionally get a one-hot MXU lookup fast path below.
 """
 
 from __future__ import annotations

@@ -49,11 +49,14 @@ def initialize(coordinator: Optional[str] = None,
 
 def global_mesh(n_model: int = 1) -> Mesh:
     """('data', 'model') mesh over ALL global devices (every process must
-    call this with the same n_model)."""
-    devs = np.asarray(jax.devices())
-    n = devs.size
+    call this with the same n_model).  Thin wrapper over the one mesh
+    builder, `sharding.make_mesh` — kept so multi-host callers have a single
+    module to import."""
+    from .sharding import make_mesh
+
+    n = len(jax.devices())
     assert n % n_model == 0, f"{n} devices not divisible by n_model={n_model}"
-    return Mesh(devs.reshape(n // n_model, n_model), ("data", "model"))
+    return make_mesh(n_data=n // n_model, n_model=n_model)
 
 
 def host_fold_rng(rng: jax.Array) -> jax.Array:
@@ -85,7 +88,11 @@ def all_hosts_psum_check(mesh: Mesh) -> float:
     """Cheap collective health check: psum of per-device ones must equal the
     global device count on every host."""
     n_data = mesh.shape["data"]
-    local = n_data // jax.process_count()
+    n_proc = jax.process_count()
+    assert n_data % n_proc == 0 and n_data >= n_proc, (
+        f"psum check needs mesh 'data' axis ({n_data}) divisible by the "
+        f"process count ({n_proc}); shrink n_model or grow the mesh")
+    local = n_data // n_proc
     ones = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")),
         np.full((local,), float(mesh.size // n_data), np.float32),

@@ -78,12 +78,6 @@ def constrain_rays(x: jnp.ndarray, mesh: Optional[Mesh]):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def initialize_distributed(coordinator: Optional[str] = None,
-                           num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None):
-    """Multi-host bring-up (`jax.distributed.initialize`).  No-op when
-    single-process; per-host data loading stays disjoint by sampling pixel
-    subsets from a host-id-folded PRNG key."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
-    return jax.process_index(), jax.process_count()
+# Multi-host bring-up lives in parallel/multihost.py (`multihost.initialize`)
+# — the single distributed entry point; this module owns mesh construction
+# and sharding specs only.

@@ -32,12 +32,22 @@ def main(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--no_tensorboard", action="store_true")
+    # multi-host bring-up (every process runs this same CLI; see
+    # parallel/multihost.py — the single distributed entry point)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from ..parallel import multihost
+
+    multihost.initialize(args.coordinator, args.num_processes, args.process_id)
 
     from .trainer import IDRTrainRunner
 

@@ -381,7 +381,10 @@ class IDRTrainRunner:
             self._plot_ev = ev  # reuse the jitted render across plot epochs
         ev.params = state["params"]
         ev.pose_vecs = state.get("pose_vecs")
-        idx = int(np.random.default_rng(epoch).integers(self.n_images))
+        # pick the plot view from the run RNG stream (stays reproducible
+        # under resume because the stream is reseeded per epoch in run())
+        self.rng, k_plot = jax.random.split(self.rng)
+        idx = int(jax.random.randint(k_plot, (), 0, self.n_images))
         view = ev.render_view(idx)
         p_impl = state["params"]["implicit_network"]
         sdf_fn = lambda x: self.model.implicit_network.sdf(p_impl, x)

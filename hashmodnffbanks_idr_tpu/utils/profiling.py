@@ -40,11 +40,13 @@ def step_flops(num_pixels: int, n_steps: int = 100, sphere_iters: int = 10,
     """Rough forward-FLOP model of one training step (R rays)."""
     dims = [embed_dim] + [hidden] * n_hidden + [1 + feature]
     per_pt = mlp_flops(dims, 1)
-    sampler_pts = num_pixels * n_steps          # dense sampler
-    minimal_pts = num_pixels * n_steps          # min-sdf fallback
+    # ONE fused dense sweep serves both the sampler and the min-SDF fallback
+    # (models/ray_tracing.py fuses them into a single n_steps evaluation per
+    # ray) — counted once, not per consumer.
+    sweep_pts = num_pixels * n_steps
     trace_pts = num_pixels * (2 * sphere_iters + secant_steps + 8)
     train_pts = num_pixels * 2 + num_pixels // 2  # sdf+grad sites
-    fwd = per_pt * (sampler_pts + minimal_pts + trace_pts)
+    fwd = per_pt * (sweep_pts + trace_pts)
     train = per_pt * train_pts * 6              # fwd+bwd+2nd order ~6x
     return {
         "tracer_fwd_flops": fwd,
