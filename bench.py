@@ -79,8 +79,11 @@ def main():
         float(losses["loss"])
         i += 1
 
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
-    win_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # Statistically boring timing: >=5 windows x >=40 steps, report the
+    # MEDIAN window (round-1's 3x20-step min-window was noisy enough to
+    # read as a regression; see VERDICT.md Weak #1).
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    win_steps = int(os.environ.get("BENCH_STEPS", "40"))
     window_times = []
     for _ in range(n_windows):
         t0 = time.time()
@@ -90,11 +93,13 @@ def main():
             i += 1
         loss = float(losses["loss"])  # device->host readback forces completion
         window_times.append(time.time() - t0)
-    dt = min(window_times)
+    dt = float(np.median(window_times))
+    spread = (max(window_times) - min(window_times)) / dt
     n_steps = win_steps
 
     print("# windows ms/step: "
-          + " ".join(f"{t / win_steps * 1000:.1f}" for t in window_times),
+          + " ".join(f"{t / win_steps * 1000:.1f}" for t in window_times)
+          + f"  (median {dt / win_steps * 1000:.1f}, spread {spread:.1%})",
           file=sys.stderr)
     rays_per_s = n_steps * num_pixels / dt
 
