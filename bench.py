@@ -53,9 +53,10 @@ def main():
     img_idx = jnp.asarray([0], dtype=jnp.int32)
     alpha = jnp.asarray(50.0, dtype=jnp.float32)
 
+    from hashmodnffbanks_idr_tpu.utils.sampling import sample_pixels
+
     rng = jax.random.PRNGKey(1)
-    pix_fn = jax.jit(
-        lambda k: jax.random.choice(k, 1200 * 1600, (num_pixels,), replace=False))
+    pix_fn = jax.jit(lambda k: sample_pixels(k, 1200 * 1600, num_pixels))
 
     # warmup (compile)
     t0 = time.time()

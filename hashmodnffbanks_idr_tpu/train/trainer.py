@@ -38,6 +38,7 @@ from ..data.scene_dataset import SceneDataset, rgb_to_pm1
 from ..models.loss import IDRLossConfig, idr_loss
 from ..models.renderer import IDRNetwork
 from ..utils.logging import ScalarLogger
+from ..utils.sampling import sample_pixels
 from . import checkpoints as ckpt
 from .schedule import annealed_alpha
 
@@ -292,11 +293,10 @@ class IDRTrainRunner:
                 except Exception as e:  # plotting must never kill training
                     print(f"[plot @{epoch}] failed: {e}")
 
-            # one pixel subset per epoch (idr_train.py:278)
+            # one pixel subset per epoch (idr_train.py:278); sample_pixels is
+            # the fast exact equivalent of randperm[:n] (utils/sampling.py)
             self.rng, k_pix, k_perm = jax.random.split(self.rng, 3)
-            pixel_idx = jax.random.choice(
-                k_pix, self.total_pixels, (self.num_pixels,), replace=False
-            )
+            pixel_idx = sample_pixels(k_pix, self.total_pixels, self.num_pixels)
             order = np.asarray(jax.random.permutation(k_perm, self.n_images))
 
             t0 = time.time()
