@@ -209,45 +209,25 @@ class ImplicitNetwork:
     def make_fast_sdf(self, params, interpret: bool = False):
         """SDF closure for the gradient-stopped tracer.
 
-        Preference order: (1) fully-fused NFFB-encoder+MLP Pallas kernel
-        (ops/fused_nffb.py) for the flagship StyleModNFFB/FFB shapes, (2) the
-        fused-MLP-only kernel (ops/fused_mlp.py) with a jnp encoder, (3) the
-        bf16 mixed-precision jnp path.  Weights are packed once per call
-        site, not per SDF evaluation, so the while-loop bodies only run the
-        kernel.
-        """
-        import os
+        Preference order: (1) the fused-MLP Pallas kernel (ops/fused_mlp.py)
+        fed by the jnp encoder, (2) the bf16 mixed-precision jnp path.
+        Weights are packed once per call site, not per SDF evaluation, so the
+        while-loop bodies only run the kernel.
 
+        A fully-fused NFFB-encoder+MLP mega-kernel was built and A/B'd twice
+        (v1 per-level loop: 17.2 ms; v2 flattened-lane single-matmul encoder:
+        13.6 ms sweep / 21.9 ms tracer) and LOST to this split path (12.0 ms
+        sweep / 16.6 ms tracer) on TPU v5e — XLA's fusion of the narrow
+        56-wide encoder beats hand-scheduled Mosaic for these shapes, and
+        fusing away the (N, 59) intermediate saves only ~0.1 ms of HBM
+        traffic.  Deleted per that measurement (see RESULTS.md).
+        """
         from ..ops import fused_mlp as fm
-        from ..ops import fused_nffb as fn
 
         if not fm.supports_fusion(self.dims, self.skip_in):
             return lambda x: self.apply(params, x, fast=True)[..., 0]
 
         packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
-
-        # A/B on TPU v5e: the mega-kernel measured 17.2 ms vs 15.0 ms for the
-        # jnp one-hot encoder + fused-MLP split at 204k points (XLA already
-        # fuses the encoder well; the mega-kernel's VMEM footprint limits
-        # pipelining), so the split path is the default.  Flip with
-        # HMNFFB_FUSED_ENCODER=1.
-        use_nffb = (
-            os.environ.get("HMNFFB_FUSED_ENCODER", "0") == "1"
-            and fn.supports_nffb_fusion(self.embedder, self.dims, self.skip_in)
-        )
-        if use_nffb:
-            nffb_packed = fn.pack_nffb(
-                self.embedder, params["embed"],
-                d_in_pad=packed["w_in"].shape[0], hidden=self.dims[1])
-
-            def sdf_fast_full(x):
-                raw = fn.fused_nffb_sdf_raw(
-                    x, self.embedder, params["embed"], nffb_packed, packed,
-                    self.dims[0], self.dims[1], interpret=interpret)
-                dens = self.density.apply(params["density"], raw)
-                return jnp.tanh(raw / (2.0 + dens))
-
-            return sdf_fast_full
 
         def sdf_fast(x):
             inp = (self._embed(params["embed"], x, fast=True)
