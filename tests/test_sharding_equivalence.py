@@ -1,0 +1,155 @@
+"""Sharded-vs-single-device equivalence (VERDICT round-1 item 6).
+
+The multi-chip path must be *numerically* the same program as the single-chip
+one: a full train step on a 4x2 ('data','model') virtual-CPU mesh from
+identical state must produce (allclose) the same losses and new params as the
+1-device step, and the hash-table gradients must actually carry the
+P('model', None) row sharding (tensor parallelism), not silently replicate.
+
+Counterpart in the reference: none — it is single-GPU (SURVEY.md §2.9); this
+pins the TPU-native replacement's correctness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from hashmodnffbanks_idr_tpu.models.loss import IDRLossConfig
+from hashmodnffbanks_idr_tpu.models.renderer import IDRNetwork
+from hashmodnffbanks_idr_tpu.parallel.sharding import (
+    make_mesh, param_sharding, ray_sharding, replicated)
+from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene
+from hashmodnffbanks_idr_tpu.train.trainer import build_train_step
+
+NUM_PIXELS = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    conf = flagship_conf(num_pixels=NUM_PIXELS, small=True)
+    model = IDRNetwork(conf.get_config("model"))
+    params = model.init(jax.random.PRNGKey(0))
+    loss_cfg = IDRLossConfig(eikonal_weight=0.1, mask_weight=200.0, alpha=50.0)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    scene_np = synthetic_scene(n_views=2, img_res=(16, 16))
+    return model, params, loss_cfg, optimizer, scene_np
+
+
+def _run_step(model, params, loss_cfg, optimizer, scene_np, mesh):
+    # the train step donates its state buffers — give each run its own copy
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    opt_state = optimizer.init(params)
+    if mesh is None:
+        state = {"params": params, "opt_state": opt_state}
+        scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+        pixel_idx = jnp.arange(NUM_PIXELS, dtype=jnp.int32)
+        img_idx = jnp.asarray([0], dtype=jnp.int32)
+    else:
+        p_shard = param_sharding(params, mesh, min_table_rows=8)
+        state = {
+            "params": jax.device_put(params, p_shard),
+            "opt_state": jax.device_put(opt_state, replicated(mesh)),
+        }
+        scene = {k: jax.device_put(jnp.asarray(v), replicated(mesh))
+                 for k, v in scene_np.items()}
+        pixel_idx = jax.device_put(
+            jnp.arange(NUM_PIXELS, dtype=jnp.int32), ray_sharding(mesh))
+        img_idx = jax.device_put(jnp.asarray([0], dtype=jnp.int32), replicated(mesh))
+
+    step = build_train_step(model, loss_cfg, optimizer, mesh=mesh)
+    alpha = jnp.asarray(50.0, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(2)
+    if mesh is not None:
+        with mesh:
+            new_state, losses = step(state, scene, img_idx, pixel_idx, rng, alpha)
+    else:
+        new_state, losses = step(state, scene, img_idx, pixel_idx, rng, alpha)
+    jax.block_until_ready(new_state["params"])
+    return new_state, {k: float(v) for k, v in losses.items()}
+
+
+def _table_leaves(params):
+    out = []
+
+    def visit(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "table" in keys and hasattr(x, "ndim") and x.ndim == 2:
+            out.append((tuple(keys), x))
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return out
+
+
+def test_eight_device_step_matches_single(setup):
+    model, params, loss_cfg, optimizer, scene_np = setup
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+    state1, losses1 = _run_step(model, params, loss_cfg, optimizer, scene_np, None)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state8, losses8 = _run_step(model, params, loss_cfg, optimizer, scene_np, mesh)
+
+    for k in losses1:
+        assert np.isfinite(losses1[k]), k
+        np.testing.assert_allclose(losses8[k], losses1[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=f"loss '{k}' diverges across meshes")
+
+    flat1 = jax.tree_util.tree_leaves_with_path(state1["params"])
+    flat8 = jax.tree_util.tree_leaves_with_path(state8["params"])
+    assert len(flat1) == len(flat8)
+    for (p1, x1), (p8, x8) in zip(flat1, flat8):
+        assert p1 == p8
+        np.testing.assert_allclose(
+            np.asarray(x8), np.asarray(x1), rtol=5e-4, atol=2e-6,
+            err_msg=f"param {jax.tree_util.keystr(p1)} diverges across meshes")
+
+
+def test_table_grads_are_model_sharded(setup):
+    """Hash-table gradients (not just params) must be row-sharded over 'model'."""
+    model, params, loss_cfg, optimizer, scene_np = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    p_shard = param_sharding(params, mesh, min_table_rows=8)
+    sharded_params = jax.device_put(params, p_shard)
+    # at least one table must actually be sharded for the test to mean anything
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        param_sharding(params, mesh, min_table_rows=8))]
+    assert any(s == P("model", None) for s in specs), \
+        "no table leaf got a 'model' sharding — param_sharding is a no-op"
+
+    scene = {k: jax.device_put(jnp.asarray(v), replicated(mesh))
+             for k, v in scene_np.items()}
+    pixel_idx = jax.device_put(
+        jnp.arange(NUM_PIXELS, dtype=jnp.int32), ray_sharding(mesh))
+
+    from hashmodnffbanks_idr_tpu.models.loss import idr_loss
+    from hashmodnffbanks_idr_tpu.train.trainer import rgb_to_pm1
+    from hashmodnffbanks_idr_tpu.parallel.sharding import constrain_rays
+
+    def loss_fn(p):
+        uv = scene["uv"][pixel_idx][None]
+        mask = scene["mask"][0:1][:, pixel_idx]
+        rgb_gt = rgb_to_pm1(scene["rgb"][0:1][:, pixel_idx])
+        uv = constrain_rays(jnp.swapaxes(uv, 0, 1), mesh).swapaxes(0, 1)
+        inputs = {"uv": uv, "intrinsics": scene["intrinsics"][0:1],
+                  "pose": scene["pose"][0:1], "object_mask": mask}
+        out = model.apply(p, inputs, jax.random.PRNGKey(2), training=True)
+        return idr_loss(loss_cfg, out, rgb_gt, jnp.asarray(50.0))["loss"]
+
+    # grads inherit the params' sharding: same tree, out_shardings default
+    grad_fn = jax.jit(jax.grad(loss_fn), out_shardings=p_shard)
+    with mesh:
+        grads = grad_fn(sharded_params)
+        jax.block_until_ready(grads)
+
+    tables = _table_leaves(grads)
+    assert tables, "model has no table leaves"
+    sharded = [(k, g) for k, g in tables
+               if g.sharding.spec == P("model", None)]
+    assert sharded, (
+        "no table gradient carries P('model', None): "
+        + str([(k, g.sharding.spec) for k, g in tables]))
+    for k, g in sharded:
+        assert np.isfinite(np.asarray(g)).all(), k
