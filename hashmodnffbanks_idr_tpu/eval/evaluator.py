@@ -143,10 +143,15 @@ class Evaluator:
                 w = csv.writer(f)
                 for i, v in enumerate(vals):
                     w.writerow([i, v])
+        from ..models.lpips import weights_source
+
         return {
             "psnr_mean": float(np.nanmean(psnrs)),
             "ssim_mean": float(np.nanmean(ssims)),
             "lpips_mean": float(np.nanmean(lpipss)),
+            # 'official' or 'fallback' — fallback LPIPS values are not
+            # comparable to published AlexNet-LPIPS numbers (models/lpips.py)
+            "lpips_weights": weights_source(),
         }
 
     def _save_view_png(self, path: str, view):

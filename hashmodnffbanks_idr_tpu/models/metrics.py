@@ -6,8 +6,8 @@ Parity with code/model/metrics.py:1-87:
   * :func:`ssim` — standard Gaussian-window SSIM (11x11, sigma 1.5), matching
     torchmetrics defaults used by the reference (metrics.py:36-44).
   * :func:`lpips_or_none` — the reference uses AlexNet LPIPS (metrics.py:47-54);
-    pretrained weights require network access, so this is gated: returns None
-    when torchvision weights are unavailable (zero-egress environments).
+    here backed by the native JAX implementation in models/lpips.py (official
+    weights when available, documented deterministic fallback otherwise).
   * :func:`chamfer_distance` — two-sided nearest-neighbour Chamfer via scipy
     cKDTree (replaces pytorch3d, metrics.py:56-87).
 """
@@ -62,25 +62,17 @@ def ssim(img: np.ndarray, gt: np.ndarray, data_range: float = 2.0) -> float:
     return float(np.mean(num / den))
 
 
-_LPIPS_CACHE = {}
-
-
 def lpips_or_none(img: np.ndarray, gt: np.ndarray) -> Optional[float]:
-    """AlexNet LPIPS if pretrained weights are locally available, else None."""
+    """AlexNet LPIPS via the native JAX implementation (models/lpips.py).
+
+    Uses official weights when ``HMNFFB_LPIPS_WEIGHTS`` provides them,
+    otherwise the documented deterministic fallback — always finite offline.
+    Returns None only if the images are too small for the AlexNet trunk."""
     try:
-        import torch
+        from .lpips import lpips as _lpips
 
-        if "model" not in _LPIPS_CACHE:
-            import lpips  # type: ignore
-
-            _LPIPS_CACHE["model"] = lpips.LPIPS(net="alex")
-        model = _LPIPS_CACHE["model"]
-        t = lambda x: torch.from_numpy(
-            np.transpose(x.astype(np.float32), (2, 0, 1))[None]
-        )
-        with torch.no_grad():
-            return float(model(t(img), t(gt)).item())
-    except Exception:
+        return _lpips(img, gt)
+    except ValueError:
         return None
 
 
