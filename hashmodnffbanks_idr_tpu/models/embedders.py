@@ -158,8 +158,9 @@ class HashGridTorchEmbedder(Embedder):
             params["ff"] = self.ff.init(k2)
         return params
 
-    def apply(self, params, x):
-        grid = hg.hash_encode(x, params["table"], self.spec, zero_oob=False)
+    def apply(self, params, x, fast: bool = False):
+        grid = hg.hash_encode(x, params["table"], self.spec, zero_oob=False,
+                              inference=fast)
         if self.ff is not None:
             return jnp.concatenate([self.ff.apply(params["ff"], x), grid], axis=-1)
         return grid
@@ -207,13 +208,15 @@ class HashGridNGPEmbedder(Embedder):
     def init(self, key):
         return {"table": hg.init_table(key, self.spec)}
 
-    def apply(self, params, x):
+    def apply(self, params, x, fast: bool = False):
         if self.input_range == "unit":
             xin = (x + self.size) / (2 * self.size)
-            grid = hg.hash_encode(xin, params["table"], self.spec, zero_oob=True)
+            grid = hg.hash_encode(xin, params["table"], self.spec,
+                                  zero_oob=True, inference=fast)
             head = xin
         else:
-            grid = hg.hash_encode(x, params["table"], self.spec, zero_oob=False)
+            grid = hg.hash_encode(x, params["table"], self.spec,
+                                  zero_oob=False, inference=fast)
             head = x
         if self.include_input:
             return jnp.concatenate([head, grid], axis=-1)
@@ -463,7 +466,7 @@ class NFFBEmbedder(Embedder):
         x = inp / self.bound                       # nffb3d.py:131
         input01 = (inp + self.bound) / (2 * self.bound)
 
-        augmented = self.grid.apply(params["grid"], input01)
+        augmented = self.grid.apply(params["grid"], input01, fast=fast)
         grid_x = augmented[..., inp.shape[-1]:]
         grid_x = grid_x.reshape(-1, self.grid_levels, self.level_width)  # (N, L, w)
         if fast:

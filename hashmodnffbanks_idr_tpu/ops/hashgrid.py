@@ -248,6 +248,73 @@ def _interp_weights(spec: HashGridSpec, frac: jnp.ndarray) -> jnp.ndarray:
 ONEHOT_MAX_ROWS = 1024
 
 
+# ---------------------------------------------------------------------------
+# large-table fast path: page-packed gather + fused lane select
+# ---------------------------------------------------------------------------
+#
+# TPU v5e has no per-lane random-access gather (the CUDA kernels' core
+# operation, hashencoder.cu:163-199).  Measured on-chip (chained-iteration
+# microbenchmarks with host-readback sync, 2026-08, see RESULTS.md):
+#
+#   * XLA gather cost is PER-LOOKUP, not per-byte: ~4.4 ns/row from a
+#     narrow (R, 2) table, ~2.6 ns/row from a 128-lane (P, 128) table
+#     (512 B rows hit the HBM-transaction sweet spot), independent of table
+#     size (no cache) and linear in lookup count (a serial gather engine).
+#   * Mosaic/Pallas cannot express a VMEM row gather on this backend
+#     (sublane dynamic gather compiles only within a single (8, 128) tile;
+#     larger shapes crash the TPU compiler), so a Pallas kernel CANNOT beat
+#     XLA here — splitting gather (XLA) from interp (Pallas) would
+#     materialize the (M, 128) page tensor in HBM and lose.
+#   * XLA scatter-add (the CUDA backward's atomicAdd, hashencoder.cu:324-339)
+#     is ~10 ns/contribution — fine for the small with-grad point sets
+#     (~10k pts/step), catastrophic if ever applied to the no-grad sweep.
+#
+# The TPU-native design that follows from those numbers: pack the table so
+# one row's C features live in consecutive lanes of a (P, 128) page array,
+# gather whole 512 B pages (the cheap shape), and select the 2 feature lanes
+# with a one-hot multiply-reduce that XLA fuses INTO the gather consumer (the
+# page tensor never materializes).  Corner-major accumulation avoids the
+# (N, L, 2^D, C) intermediate entirely.  The no-grad tracer path additionally
+# gathers from a bfloat16 page image (~3.0 ns/lookup) — faithful to the
+# reference CUDA forward, which itself casts to half
+# (hashgridencoder.py:13-24 custom_fwd cast_inputs=torch.half).
+
+# Use the page path above this many rows in the largest level.
+PAGE_MIN_ROWS = 1024
+
+
+def pack_pages(table: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """(R, C) table -> (P, 128) page image; row r's features at lanes
+    [r*C % 128 : r*C % 128 + C].  Requires C | 128 so rows never span pages.
+    Pure pad+reshape(+cast): XLA transposes it exactly in the backward."""
+    R, C = table.shape
+    assert 128 % C == 0, f"level_dim {C} must divide 128 for the page path"
+    flat = table.reshape(-1)
+    if dtype is not None and flat.dtype != dtype:
+        flat = flat.astype(dtype)
+    pad = (-flat.shape[0]) % 128
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(-1, 128)
+
+
+def _page_lookup(pages: jnp.ndarray, rows: jnp.ndarray, C: int,
+                 out_dtype) -> jnp.ndarray:
+    """rows (...,) int32 -> (..., C) values via one 128-lane page gather per
+    row + a fused one-hot lane select (never materializes the page tensor)."""
+    shape = rows.shape
+    flat_elem = rows.reshape(-1).astype(jnp.uint32) * jnp.uint32(C)
+    pidx = (flat_elem >> jnp.uint32(7)).astype(jnp.int32)
+    lane = (flat_elem & jnp.uint32(127)).astype(jnp.int32)
+    g = jnp.take(pages, pidx, axis=0)                      # (M, 128), fused
+    iota = jnp.arange(128, dtype=jnp.int32)[None, :]
+    outs = []
+    for c in range(C):
+        oh = (iota == (lane[:, None] + c)).astype(pages.dtype)
+        outs.append(jnp.sum(g * oh, axis=1, dtype=out_dtype))
+    return jnp.stack(outs, axis=-1).reshape(*shape, C)
+
+
 def _onehot_lookup(spec: HashGridSpec, rows: jnp.ndarray,
                    w: Optional[jnp.ndarray], table: jnp.ndarray) -> jnp.ndarray:
     """Small-table lookup as one-hot matmul (TPU MXU; any-order AD).
@@ -288,6 +355,7 @@ def hash_encode(
     spec: HashGridSpec,
     *,
     zero_oob: bool = True,
+    inference: bool = False,
 ) -> jnp.ndarray:
     """Encode x (N, D) in [0,1] -> (N, L*C).
 
@@ -295,11 +363,18 @@ def hash_encode(
     Matches kernel_grid (hashencoder.cu:107-252) for variant='ngp' and the
     pure-torch forward (hashGridEmbedding.py:81-102,150-155) for
     variant='torch' + interpolation='floor'.  Small-table specs take the
-    one-hot MXU path (:func:`_onehot_lookup`); large tables use XLA gather.
+    one-hot MXU path (:func:`_onehot_lookup`); large tables use the
+    page-packed gather + fused lane select (see the block comment above
+    :func:`pack_pages` for the measured on-chip rationale).
+
+    ``inference=True`` gathers from a bfloat16 page image (fp32 accumulate)
+    — for the gradient-stopped tracer; mirrors the reference CUDA forward's
+    own half cast (hashgridencoder.py:13-24).  The fp32 default is exact.
     """
     N, D = x.shape
     L, C = spec.num_levels, spec.level_dim
     use_onehot = int(spec.level_sizes().max()) <= ONEHOT_MAX_ROWS
+    use_pages = not use_onehot and 128 % C == 0
 
     floor, frac = _positions(spec, x)
     if spec.interpolation == "floor":
@@ -308,17 +383,29 @@ def hash_encode(
         rows = _level_indices(spec, floor[:, :, None, :])  # (N,L,1)
         if use_onehot:
             out = _onehot_lookup(spec, rows, None, table)
+        elif use_pages:
+            pages = pack_pages(table, jnp.bfloat16 if inference else None)
+            out = _page_lookup(pages, rows[..., 0], C, jnp.float32)
         else:
             out = jnp.take(table, rows[..., 0], axis=0)  # (N,L,C)
     else:
         bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
         corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
         rows = _level_indices(spec, corners)  # (N,L,2^D)
-        w = _interp_weights(spec, frac).astype(table.dtype)  # (N,L,2^D)
+        w = _interp_weights(spec, frac)  # (N,L,2^D)
 
         if use_onehot:
-            out = _onehot_lookup(spec, rows, w, table)
+            out = _onehot_lookup(spec, rows, w.astype(table.dtype), table)
+        elif use_pages:
+            pages = pack_pages(table, jnp.bfloat16 if inference else None)
+            w32 = w.astype(jnp.float32)
+            out = jnp.zeros((N, L, C), dtype=jnp.float32)
+            for k in range(1 << D):  # corner-major: no (N,L,2^D,C) tensor
+                v = _page_lookup(pages, rows[:, :, k], C, jnp.float32)
+                out = out + v * w32[:, :, k, None]
+            out = out.astype(table.dtype)
         else:
+            w = w.astype(table.dtype)
             vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
             out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
 

@@ -41,6 +41,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-pixels", type=int, default=2048)
     p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--embed_type", default="StyleModNFFB")
+    p.add_argument("--log2", type=int, default=5)
     args = p.parse_args()
 
     import jax
@@ -57,7 +59,8 @@ def main():
 
     enable_compile_cache()
     R = args.num_pixels
-    conf = flagship_conf(num_pixels=R, small=False)
+    conf = flagship_conf(num_pixels=R, small=False, embed_type=args.embed_type)
+    conf.put("model.embedding_network.log2_max_hash_size", args.log2)
     model = IDRNetwork(conf.get_config("model"))
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
