@@ -17,7 +17,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    # virtual-device mode: this environment's sitecustomize pre-imports jax
+    # with the TPU plugin, so force the CPU backend the way tests/conftest.py
+    # does (env alone is consumed too early).
+    sys.argv.remove("--cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
