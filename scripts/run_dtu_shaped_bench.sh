@@ -17,5 +17,11 @@ for name in $CONFS; do
   timeout 7000 python -m hashmodnffbanks_idr_tpu.eval.run_eval \
     --conf "$conf" --data_root data --resolution 300 --eval_rendering \
     || echo "EVAL FAIL ${name}"
+  echo "=== chamfer ${name} ==="
+  mesh=$(ls -t "evals/${name}_0"/surface_world_coordinates_*.ply | head -1)
+  JAX_PLATFORMS=cpu timeout 3000 python -m hashmodnffbanks_idr_tpu.eval.dtu_chamfer \
+    --data "$mesh" --gt data/dtu_shaped/scan0/gt_mesh.ply \
+    --downsample_density 0.005 --log "evals/${name}_0/chamfer_log.txt" \
+    || echo "CHAMFER FAIL ${name}"
 done
 echo "ALL DONE"
