@@ -19,23 +19,29 @@ from ..ops.mesh_extract import largest_component, marching_tetrahedra
 from ..utils.ply import write_ply
 
 
-def make_chunked_sdf(sdf_fn: Callable, chunk: int = 16384) -> Callable:
+def make_chunked_sdf(sdf_fn: Callable, chunk: int = 262144) -> Callable:
     """Wrap a jnp sdf into a host function evaluating big point sets in
-    fixed-size jitted chunks (pad-last strategy; one compiled shape)."""
+    fixed-size jitted chunks (pad-last strategy; one compiled shape).
+
+    All chunks are dispatched asynchronously and read back in ONE transfer:
+    the remote-TPU runtime's device->host round trip is ~hundreds of ms, so
+    per-chunk readbacks dominated marching-cubes grids (e.g. 1,650 blocking
+    readbacks for a 300^3 grid at the old 16k chunk)."""
     jitted = jax.jit(sdf_fn)
 
     def eval_points(pts: np.ndarray) -> np.ndarray:
         n = len(pts)
-        out = np.empty(n, dtype=np.float32)
+        outs = []
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             block = pts[s:e]
             if e - s < chunk:
                 block = np.concatenate(
                     [block, np.repeat(block[-1:], chunk - (e - s), axis=0)], axis=0)
-            vals = np.asarray(jitted(jnp.asarray(block, dtype=jnp.float32)))
-            out[s:e] = vals[: e - s]
-        return out
+            outs.append(jitted(jnp.asarray(block, dtype=jnp.float32)))
+        if not outs:
+            return np.empty(0, dtype=np.float32)
+        return np.asarray(jnp.concatenate(outs, axis=0), dtype=np.float32)[:n]
 
     return eval_points
 
@@ -52,7 +58,7 @@ def get_surface_mesh(
     resolution: int = 100,
     bounds: Optional[np.ndarray] = None,
     level: float = 0.0,
-    chunk: int = 16384,
+    chunk: int = 262144,
     keep_largest: bool = False,
 ):
     """Single-pass extraction (utils/plots.py:110-144 role)."""
@@ -75,7 +81,7 @@ def get_surface_mesh(
 def get_surface_high_res_mesh(
     sdf_fn: Callable,
     resolution: int = 400,
-    chunk: int = 16384,
+    chunk: int = 262144,
 ):
     """Two-pass refinement (utils/plots.py:146-224): coarse 100^3 pass ->
     largest component -> PCA-aligned bounding box -> fine pass on the aligned
