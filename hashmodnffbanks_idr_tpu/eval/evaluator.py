@@ -135,9 +135,16 @@ class Evaluator:
         for idx in range(len(self.dataset)):
             view = self.render_view(idx)
             mask = view["gt_mask"]
-            p = masked_psnr(view["rgb"], view["gt_rgb"], mask)
-            s = ssim(view["rgb"], view["gt_rgb"])
-            l = lpips_or_none(view["rgb"], view["gt_rgb"])
+            # reference metric convention (eval.py:164-185): images mapped to
+            # [0,1] and MULTIPLIED by the object mask before every metric —
+            # SSIM/LPIPS run on the masked images (metrics.py:26-55), PSNR's
+            # MSE is renormalized by the mask count.
+            m3 = mask[..., None].astype(np.float32)
+            rgb01 = (view["rgb"] + 1.0) / 2.0 * m3
+            gt01 = (view["gt_rgb"] + 1.0) / 2.0 * m3
+            p = masked_psnr(rgb01, gt01, mask, data_range=1.0)
+            s = ssim(rgb01, gt01, data_range=1.0)
+            l = lpips_or_none(rgb01, gt01)
             psnrs.append(p)
             ssims.append(s)
             lpipss.append(l if l is not None else float("nan"))

@@ -376,7 +376,7 @@ class IDRTrainRunner:
             ev = Evaluator(
                 self.conf, state["params"], train_cameras=self.train_cameras,
                 pose_vecs=state.get("pose_vecs"),
-                dataset=self.train_dataset, tile=4096,
+                dataset=self.train_dataset, tile=32768,
             )
             self._plot_ev = ev  # reuse the jitted render across plot epochs
         ev.params = state["params"]
