@@ -159,3 +159,26 @@ def test_scene_html_viewer(tmp_path):
     assert np.allclose(v, verts) and (f == faces).all()
     assert segs.shape == (4 * 8 * 2 * 3,)  # 4 frusta x 8 segments x 2 pts
     assert scene["radius"] > 0
+
+
+def test_masked_metric_convention():
+    """Reference convention (eval.py:164-185): SSIM/LPIPS on mask-multiplied
+    [0,1] images. A white-miss render vs a black-background GT must still
+    score high when the foreground matches (regression: unmasked SSIM was
+    -0.86 on the DTU-shaped benchmark)."""
+    rng = np.random.default_rng(0)
+    H = W = 48
+    fg = np.zeros((H, W), bool)
+    fg[12:36, 12:36] = True
+    obj = rng.random((H, W, 3)).astype(np.float32)
+    gt01 = np.where(fg[..., None], obj, 0.0)     # black background
+    render01 = np.where(fg[..., None], obj, 1.0)  # white miss convention
+
+    m3 = fg[..., None].astype(np.float32)
+    s_masked = ssim(render01 * m3, gt01 * m3, data_range=1.0)
+    s_unmasked = ssim(render01, gt01, data_range=1.0)
+    assert s_masked > 0.95
+    assert s_unmasked < s_masked  # the convention matters
+
+    p = masked_psnr(render01 * m3, gt01 * m3, fg, data_range=1.0)
+    assert p > 40  # identical foreground
