@@ -152,9 +152,31 @@ def _lpips_impl(weights, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def lpips(img: np.ndarray, gt: np.ndarray) -> float:
     """LPIPS distance between two (H, W, 3) images in [-1, 1]."""
     weights, _ = get_weights()
-    a = jnp.asarray(np.transpose(img.astype(np.float32), (2, 0, 1))[None])
-    b = jnp.asarray(np.transpose(gt.astype(np.float32), (2, 0, 1))[None])
-    if a.shape[-1] < 16 or a.shape[-2] < 16:
+    if img.shape[0] < 16 or img.shape[1] < 16:
         raise ValueError(f"image too small for AlexNet LPIPS: {img.shape}")
-    jw = {k: jnp.asarray(v) for k, v in weights.items()}
-    return float(_lpips_impl(jw, a, b)[0])
+    a = np.transpose(img.astype(np.float32), (2, 0, 1))[None]
+    b = np.transpose(gt.astype(np.float32), (2, 0, 1))[None]
+
+    def run(device=None):
+        import contextlib
+
+        ctx = (jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
+        with ctx:
+            jw = {k: jnp.asarray(v) for k, v in weights.items()}
+            return float(_lpips_impl(jw, jnp.asarray(a), jnp.asarray(b))[0])
+
+    if _LPIPS_STATE.get("force_cpu"):
+        return run(jax.local_devices(backend="cpu")[0])
+    try:
+        return run()
+    except ValueError:
+        raise
+    except Exception:
+        # accelerator-side compile/runtime failure (e.g. transient remote
+        # compiler errors): fall back to the CPU backend and stay there
+        _LPIPS_STATE["force_cpu"] = True
+        return run(jax.local_devices(backend="cpu")[0])
+
+
+_LPIPS_STATE: Dict[str, bool] = {}
