@@ -41,6 +41,21 @@ class RayTracerConfig(NamedTuple):
     sphere_tracing_iters: int = 10
     n_steps: int = 100
     n_secant_steps: int = 8
+    # Evaluate the n_steps sweep grid hierarchically (coarse probes + refined
+    # intervals) instead of densely — ~2.8x fewer SDF evaluations on the
+    # step's dominant stage with grid-index-exact first-flip/secant semantics
+    # (see _hierarchical_sweep).  Dense fallback when n_steps has no suitable
+    # coarse stride.
+    hierarchical_sweep: bool = True
+
+
+def _sweep_stride(n: int):
+    """Coarse stride s with (n-1) % s == 0 so coarse probes sit ON the dense
+    grid and every interval has exactly s-1 interior grid points."""
+    for s in (9, 8, 10, 7, 11, 6, 12, 5, 4, 3):
+        if n > 2 * s and (n - 1) % s == 0:
+            return s
+    return None
 
 
 class TraceResult(NamedTuple):
@@ -87,22 +102,29 @@ def ray_trace(
     # identical semantics at half the SDF evaluations.
     sampler_mask = unfinished_mask_start
     n = cfg.n_steps
-    lin01 = jnp.linspace(0.0, 1.0, n, dtype=cam_flat.dtype)
-    rand01 = jax.random.uniform(rng, (n,), dtype=cam_flat.dtype)  # ray_tracing.py:277
-
-    t0_s = jnp.where(sampler_mask, acc_start_dis, 0.0)
-    t1_s = jnp.where(sampler_mask, acc_end_dis, 0.0)
-    sampler_intervals = t0_s[:, None] + lin01[None, :] * (t1_s - t0_s)[:, None]
     min_dis_eff = jnp.where(network_object_mask & ~object_mask, acc_start_dis, min_dis)
-    minimal_steps = rand01[None, :] * (max_dis - min_dis_eff)[:, None] + min_dis_eff[:, None]
+    t0 = jnp.where(sampler_mask, acc_start_dis, min_dis_eff)
+    t1 = jnp.where(sampler_mask, acc_end_dis, max_dis)
 
-    pts_intervals = jnp.where(sampler_mask[:, None], sampler_intervals, minimal_steps)
-    points = cam_flat[:, None, :] + pts_intervals[..., None] * dirs_flat[:, None, :]
-    sdf_val = sdf(points.reshape(R * n, 3)).reshape(R, n)
+    stride = _sweep_stride(n) if cfg.hierarchical_sweep else None
+    if stride is None:
+        # dense sweep — every grid point evaluated (reference ray_tracing.py:
+        # 204-208 and :277 exactly)
+        lin01 = jnp.linspace(0.0, 1.0, n, dtype=cam_flat.dtype)
+        rand01 = jax.random.uniform(rng, (n,), dtype=cam_flat.dtype)
+        u = jnp.where(sampler_mask[:, None], lin01[None, :], rand01[None, :])
+        pts_intervals = t0[:, None] + u * (t1 - t0)[:, None]
+        points = cam_flat[:, None, :] + pts_intervals[..., None] * dirs_flat[:, None, :]
+        sdf_val = sdf(points.reshape(-1, 3)).reshape(R, n)
+        idx_grid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (R, n))
+    else:
+        idx_grid, pts_intervals, points, sdf_val = _hierarchical_sweep(
+            cfg, sdf, cam_flat, dirs_flat, sampler_mask, t0, t1, rng, stride
+        )
 
     sampler_pts, sampler_net_obj_mask, sampler_dists = _ray_sampler(
         cfg, sdf, cam_flat, dirs_flat, object_mask,
-        points, pts_intervals, sdf_val, sampler_mask, training
+        idx_grid, points, pts_intervals, sdf_val, sampler_mask, training
     )
     curr_start_points = jnp.where(sampler_mask[:, None], sampler_pts, curr_start_points)
     acc_start_dis = jnp.where(sampler_mask, sampler_dists, acc_start_dis)
@@ -232,46 +254,121 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
 
 
 # ---------------------------------------------------------------------------
-# dense sampler + secant (ray_tracing.py:189-268)
+# sweep sampler + secant (ray_tracing.py:189-268)
 # ---------------------------------------------------------------------------
 
-def _ray_sampler(cfg, sdf, cam, dirs, object_mask, points, pts_intervals,
-                 sdf_val, sampler_mask, training):
-    """Consumes the fused sweep's (points, intervals, sdf values); only rows
-    where sampler_mask are meaningful (others carry the min-SDF pattern)."""
+def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride):
+    """Evaluate the n_steps linspace grid hierarchically.
+
+    Coarse pass: probes at grid indices {0, s, 2s, ..., n-1} (exactly on the
+    dense grid since (n-1) % s == 0).  Fine pass: the s-1 interior grid points
+    of three coarse intervals — the first sign-flip interval plus both
+    intervals around the coarse argmin (which catches crossings whose coarse
+    endpoints are both positive).  The evaluated subset always contains the
+    first-negative grid index AND its grid predecessor, so the sampler's
+    first-flip + secant-bracket outputs equal the dense sweep's whenever the
+    dense first crossing lies in a refined interval — the golden test
+    (tests/test_ray_tracer_golden.py) pins this against the reference tracer.
+
+    Rows with sampler_mask=False (the min-SDF fallback, reference
+    ray_tracing.py:270-297) use iid uniform probes in both passes — the same
+    estimator as the reference's random sweep at n_c + 3(s-1) samples.
+
+    Returns (idx_grid (R, m) int32, t (R, m), points (R, m, 3), sdf (R, m))
+    with m = n_c + 3(s-1) ≈ n/3.
+    """
     R = cam.shape[0]
     n = cfg.n_steps
+    dtype = cam.dtype
+    n_c = (n - 1) // stride + 1
+    n_f = 3 * (stride - 1)
+    rng_c, rng_f = jax.random.split(rng)
 
-    # first-sign-flip argmin trick (ray_tracing.py:212-213)
-    rank = jnp.arange(n, 0, -1, dtype=sdf_val.dtype)
-    tmp = jnp.sign(sdf_val) * rank[None, :]
-    ind = jnp.argmin(tmp, axis=-1)  # (R,)
+    ic = jnp.arange(n_c, dtype=jnp.int32) * stride              # coarse grid idx
+    lin01_c = ic.astype(dtype) / (n - 1)
+    rand01_c = jax.random.uniform(rng_c, (n_c,), dtype=dtype)   # ray_tracing.py:277
+    u_c = jnp.where(sampler_mask[:, None], lin01_c[None, :], rand01_c[None, :])
+    t_c = t0[:, None] + u_c * (t1 - t0)[:, None]
+    pts_c = cam[:, None, :] + t_c[..., None] * dirs[:, None, :]
+    v_c = sdf(pts_c.reshape(-1, 3)).reshape(R, n_c)
 
-    take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
-    sampler_pts = jnp.take_along_axis(points, ind[:, None, None], axis=1)[:, 0]
-    sampler_dists = take(pts_intervals, ind)
+    # choose refined intervals (interval k = grid range (ic[k-1], ic[k]])
+    slot = jnp.arange(n_c, dtype=jnp.int32)[None, :]
+    first_neg = jnp.min(jnp.where(v_c < 0, slot, n_c), axis=-1)     # (R,)
+    k_flip = jnp.clip(first_neg, 1, n_c - 1)
+    m_slot = jnp.argmin(v_c, axis=-1).astype(jnp.int32)
+    k_min_l = jnp.clip(m_slot, 1, n_c - 1)
+    k_min_r = jnp.clip(m_slot + 1, 1, n_c - 1)
+    ks = jnp.stack([k_flip, k_min_l, k_min_r], axis=-1)             # (R, 3)
 
-    net_surface_pts = take(sdf_val, ind) < 0
+    offs = jnp.arange(1, stride, dtype=jnp.int32)                   # (s-1,)
+    idx_f = ((ks - 1) * stride)[..., None] + offs[None, None, :]    # (R, 3, s-1)
+    idx_f = idx_f.reshape(R, n_f)
+    u_f = jnp.where(
+        sampler_mask[:, None],
+        idx_f.astype(dtype) / (n - 1),
+        jax.random.uniform(rng_f, (n_f,), dtype=dtype)[None, :],
+    )
+    t_f = t0[:, None] + u_f * (t1 - t0)[:, None]
+    pts_f = cam[:, None, :] + t_f[..., None] * dirs[:, None, :]
+    v_f = sdf(pts_f.reshape(-1, 3)).reshape(R, n_f)
+
+    idx_grid = jnp.concatenate(
+        [jnp.broadcast_to(ic[None, :], (R, n_c)), idx_f], axis=1)
+    t_all = jnp.concatenate([t_c, t_f], axis=1)
+    pts_all = jnp.concatenate([pts_c, pts_f], axis=1)
+    v_all = jnp.concatenate([v_c, v_f], axis=1)
+    return idx_grid, t_all, pts_all, v_all
+
+
+def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
+                 pts_intervals, sdf_val, sampler_mask, training):
+    """Consumes the fused sweep's evaluated probes — (grid index, t, point,
+    sdf) tuples, dense or hierarchical; only rows where sampler_mask are
+    meaningful (others carry the min-SDF pattern)."""
+    n = cfg.n_steps
+
+    # first NEGATIVE grid index — the reference's sign*rank argmin trick
+    # (ray_tracing.py:212-213) selects exactly this; when no sample is
+    # negative the reference lands on n-1 (and every consumer of that row is
+    # overridden by the p_out branch below, so the value itself is inert).
+    BIG = jnp.int32(n)
+    gneg = jnp.min(jnp.where(sdf_val < 0, idx_grid, BIG), axis=-1)   # (R,)
+    net_surface_pts = gneg < BIG
+    ind = jnp.where(net_surface_pts, gneg, n - 1)
+
+    def extract(g):
+        """Value/t/point at grid index g (must be among the evaluated)."""
+        j = jnp.argmax(idx_grid == g[:, None], axis=-1)              # (R,)
+        take = lambda a: jnp.take_along_axis(a, j[:, None], axis=1)[:, 0]
+        return take(sdf_val), take(pts_intervals), \
+            jnp.take_along_axis(points, j[:, None, None], axis=1)[:, 0]
+
+    sdf_at_ind, t_at_ind, sampler_pts = extract(ind)
+    sampler_dists = t_at_ind
 
     # P_out pixels: min-SDF sample (ray_tracing.py:220-226)
     true_surface_pts = object_mask
     p_out_mask = ~(true_surface_pts & net_surface_pts)
-    out_ind = jnp.argmin(sdf_val, axis=-1)
-    out_pts = jnp.take_along_axis(points, out_ind[:, None, None], axis=1)[:, 0]
-    out_d = take(pts_intervals, out_ind)
+    out_j = jnp.argmin(sdf_val, axis=-1)
+    out_pts = jnp.take_along_axis(points, out_j[:, None, None], axis=1)[:, 0]
+    out_d = jnp.take_along_axis(pts_intervals, out_j[:, None], axis=1)[:, 0]
     sampler_pts = jnp.where(p_out_mask[:, None], out_pts, sampler_pts)
     sampler_dists = jnp.where(p_out_mask, out_d, sampler_dists)
 
     sampler_net_obj_mask = sampler_mask & net_surface_pts
 
     # secant (ray_tracing.py:232-247); torch's ind-1 indexing wraps at 0.
+    # The grid predecessor of the first-negative index is always evaluated:
+    # dense trivially; hierarchical because the first negative lies in (or on
+    # the right edge of) a refined interval whose interior+endpoints are all
+    # evaluated, and ind=0 wraps to n-1 (a coarse probe).
     secant_pts = (net_surface_pts & true_surface_pts) if training else net_surface_pts
     secant_pts = secant_pts & sampler_mask
     prev = (ind - 1) % n
-    z_high = take(pts_intervals, ind)
-    sdf_high = take(sdf_val, ind)
-    z_low = take(pts_intervals, prev)
-    sdf_low = take(sdf_val, prev)
+    z_high = t_at_ind
+    sdf_high = sdf_at_ind
+    sdf_low, z_low, _ = extract(prev)
     z_pred = _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, secant_pts)
 
     sec_points = cam + z_pred[:, None] * dirs

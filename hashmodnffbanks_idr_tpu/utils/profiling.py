@@ -36,14 +36,23 @@ def mlp_flops(dims, n_points: int) -> float:
 
 def step_flops(num_pixels: int, n_steps: int = 100, sphere_iters: int = 10,
                secant_steps: int = 8, hidden: int = 512, n_hidden: int = 8,
-               embed_dim: int = 59, feature: int = 256) -> Dict[str, float]:
+               embed_dim: int = 59, feature: int = 256,
+               hierarchical_sweep: bool = True) -> Dict[str, float]:
     """Rough forward-FLOP model of one training step (R rays)."""
+    from ..models.ray_tracing import _sweep_stride
+
     dims = [embed_dim] + [hidden] * n_hidden + [1 + feature]
     per_pt = mlp_flops(dims, 1)
-    # ONE fused dense sweep serves both the sampler and the min-SDF fallback
-    # (models/ray_tracing.py fuses them into a single n_steps evaluation per
-    # ray) — counted once, not per consumer.
-    sweep_pts = num_pixels * n_steps
+    # ONE fused sweep serves both the sampler and the min-SDF fallback
+    # (models/ray_tracing.py fuses them into a single evaluation per ray) —
+    # counted once, not per consumer.  With the hierarchical sweep the grid
+    # is probed at n_c coarse + 3(s-1) refined points instead of densely.
+    stride = _sweep_stride(n_steps) if hierarchical_sweep else None
+    if stride is not None:
+        sweep_evals = (n_steps - 1) // stride + 1 + 3 * (stride - 1)
+    else:
+        sweep_evals = n_steps
+    sweep_pts = num_pixels * sweep_evals
     trace_pts = num_pixels * (2 * sphere_iters + secant_steps + 8)
     train_pts = num_pixels * 2 + num_pixels // 2  # sdf+grad sites
     fwd = per_pt * (sweep_pts + trace_pts)
