@@ -75,6 +75,28 @@ def main():
                 if re.match(r"\s*(ROOT\s+)?%?[\w.\-]+\s*=", ln)]
     n = len(op_lines)
     kinds = ("all-reduce", "reduce-scatter", "all-gather", "collective-permute")
+    _DT_BYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2,
+                 "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+    def _lhs_bytes(ln: str) -> int:
+        """Bytes of the instruction's result: sum of dtype[dims] tokens on
+        the LHS — XLA's all-reduce combiner merges many gradient reductions
+        into one tuple-shaped op, so every element counts."""
+        lhs = ln.split("=", 1)[1]
+        # up to the OP's operand list — a tuple-shaped LHS contains parens
+        # of its own, so split at the op token, not the first '('
+        m_op = re.search(
+            r"\b(all-reduce|reduce-scatter|all-gather|collective-permute)"
+            r"(-start|-done)?\(", lhs)
+        lhs = lhs[: m_op.start()] if m_op else lhs.split("(", 1)[0]
+        total = 0
+        for m in re.finditer(r"\b(f64|f32|s32|u32|bf16|f16|s8|u8|pred)\[([\d,]*)\]", lhs):
+            size = _DT_BYTES[m.group(1)]
+            for d in (int(d) for d in m.group(2).split(",") if d):
+                size *= d
+            total += size
+        return total
+
     events = []
     for pos, (i, ln) in enumerate(op_lines):
         for k in kinds:
@@ -84,8 +106,17 @@ def main():
                     "op": m.group(0),
                     "stream_pos": pos,
                     "frac": round(pos / max(1, n - 1), 4),
+                    "bytes": _lhs_bytes(ln),
                 })
                 break
+    # bytes by base op, counting -start/-done pairs once (prefer -done: its
+    # LHS is the materialized result)
+    bytes_by_op = {}
+    for e in events:
+        base = e["op"].replace("-start", "").replace("-done", "")
+        if e["op"].endswith("-start"):
+            continue
+        bytes_by_op[base] = bytes_by_op.get(base, 0) + e["bytes"]
     # dot/conv ops after the first collective = compute scheduled around it
     first_col = min((e["stream_pos"] for e in events), default=None)
     dots_after = None
@@ -93,9 +124,20 @@ def main():
         dots_after = sum(1 for pos, (i, ln) in enumerate(op_lines)
                          if pos > first_col and (" dot(" in ln or " = dot" in ln
                                                  or "fusion" in ln[:80]))
+    import numpy as np
+
+    param_bytes = sum(int(np.prod(l.shape)) * l.dtype.itemsize
+                      for l in jax.tree.leaves(params))
     summary = {
         "mesh": dict(mesh.shape),
         "hlo_instructions": n,
+        "collective_bytes_by_op": bytes_by_op,
+        "collective_bytes_total": sum(bytes_by_op.values()),
+        # minimal gradient bytes = one reduction per param; the compiled
+        # schedule reduces each use-site's contribution separately, so
+        # all-reduce bytes exceed this (the multiplier feeds
+        # scripts/scaling_model.py's pessimistic case)
+        "small_conf_param_bytes": param_bytes,
         "collectives": events,
         "first_collective_frac": (round(first_col / max(1, n - 1), 4)
                                   if first_col is not None else None),

@@ -103,20 +103,37 @@ def main():
             step_ms = json.load(f)["step_time_ms"]
         source = "ROOFLINE_r03.json"
 
+    # The COMPILED schedule reduces more than the minimal param bytes: XLA
+    # all-reduces each use-site's gradient contribution separately (the
+    # encoder/MLP params are applied at several point sets per step).
+    # COLLECTIVES_r03.json measures that multiplier on the small conf;
+    # carry it as the pessimistic case.
+    hlo_mult = 1.0
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "COLLECTIVES_r03.json")) as f:
+            coll = json.load(f)
+        small_param_bytes = coll.get("small_conf_param_bytes")
+        if small_param_bytes:
+            hlo_mult = coll["collective_bytes_by_op"]["all-reduce"] / small_param_bytes
+    except (OSError, KeyError):
+        pass
+
     B = args.dcn_gbytes_per_s * 1e9
     rows = []
     for n in args.hosts:
         wire = 2.0 * repl_bytes * (n - 1) / n           # ring all-reduce
         t_wire_ms = wire / B * 1e3
+        t_wire_pess_ms = t_wire_ms * hlo_mult
         t_exposed_ms = (1.0 - args.overlap) * t_wire_ms
-        eff = step_ms / (step_ms + t_exposed_ms)
-        eff_noverlap = step_ms / (step_ms + t_wire_ms)
         rows.append({
             "hosts": n,
             "dcn_wire_ms": round(t_wire_ms, 3),
             "exposed_ms": round(t_exposed_ms, 3),
-            "efficiency": round(eff, 4),
-            "efficiency_zero_overlap": round(eff_noverlap, 4),
+            "efficiency": round(step_ms / (step_ms + t_exposed_ms), 4),
+            "efficiency_zero_overlap": round(step_ms / (step_ms + t_wire_ms), 4),
+            "efficiency_hlo_bytes_zero_overlap": round(
+                step_ms / (step_ms + t_wire_pess_ms), 4),
         })
 
     out = {
@@ -134,6 +151,7 @@ def main():
                                 "interleaved 3.2%-99.0% of the compiled "
                                 "schedule; 2134 compute ops after the first "
                                 "all-reduce",
+            "hlo_bytes_multiplier": round(hlo_mult, 3),
         },
         "scaling": rows,
         "caveat": "analytic bound, not a measurement — this environment has "

@@ -43,6 +43,7 @@ def main():
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--embed_type", default="StyleModNFFB")
     p.add_argument("--log2", type=int, default=5)
+    p.add_argument("--json", default=None, help="also write the rows here")
     args = p.parse_args()
 
     import jax
@@ -166,6 +167,18 @@ def main():
     w = max(len(r[0]) for r in rows)
     for name, ms in rows:
         print(f"{name:<{w}}  {ms:8.2f} ms")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({
+                "embed_type": args.embed_type,
+                "log2_max_hash_size": args.log2,
+                "num_pixels": R,
+                "device": str(jax.devices()[0].device_kind),
+                "rows_ms": {name: round(ms, 3) for name, ms in rows},
+            }, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
