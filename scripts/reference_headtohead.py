@@ -234,10 +234,11 @@ def eval_reference_model(runner, out_dir: str, mesh_resolution: int,
         _, model_input, ground_truth = ds.collate_fn([ds[idx]])
         split = utils.split_input(model_input, total_pixels)
         outs = []
-        with torch.no_grad():
-            for s in split:
-                out = model(s)
-                outs.append({"rgb_values": out["rgb_values"].detach()})
+        # NO torch.no_grad(): the reference's eval forward itself calls
+        # autograd.grad for surface normals (impl..._renderer.py:323,120)
+        for s in split:
+            out = model(s)
+            outs.append({"rgb_values": out["rgb_values"].detach()})
         res = utils.merge_output(outs, total_pixels, 1)
         rgb = res["rgb_values"].reshape(H, W, 3).numpy()
         gt = ground_truth["rgb"].reshape(H, W, 3).numpy()
@@ -265,7 +266,7 @@ def eval_reference_model(runner, out_dir: str, mesh_resolution: int,
     def sdf_np(pts):
         with torch.no_grad():
             t = torch.from_numpy(np.ascontiguousarray(pts, dtype=np.float32))
-            return model.implicit_network(t)[:, 0].numpy()
+            return model.implicit_network(t)[:, 0].detach().numpy()
 
     verts, faces = get_surface_mesh(sdf_np, resolution=mesh_resolution,
                                     keep_largest=False)
@@ -306,6 +307,9 @@ def main(argv=None):
                         "compare ours on the same subset")
     p.add_argument("--timing-only", type=int, default=0, metavar="N",
                    help="run N epochs, print s/step, skip eval")
+    p.add_argument("--eval-only", action="store_true",
+                   help="resume the latest checkpoint in the sandbox and run "
+                        "only the evaluation")
     args = p.parse_args(argv)
 
     from hashmodnffbanks_idr_tpu.config import hocon
@@ -337,7 +341,7 @@ def main(argv=None):
         train_cameras=False,
         expname="",
         scan_id=args.scan_id,
-        is_continue=False,
+        is_continue=args.eval_only,
         timestamp="latest",
         checkpoint="latest",
         validation_slope_print=False,
@@ -352,14 +356,17 @@ def main(argv=None):
     import torch
 
     torch.set_num_threads(os.cpu_count() or 2)
-    n_steps = nepochs * len(runner.train_dataloader)
-    t0 = time.time()
-    runner.run()
-    dt = time.time() - t0
-    print(f"reference train: {nepochs} epochs / {n_steps} steps in {dt:.0f}s "
-          f"({dt / max(n_steps, 1):.2f} s/step)")
-    if args.timing_only:
-        return
+    if not args.eval_only:
+        n_steps = nepochs * len(runner.train_dataloader)
+        t0 = time.time()
+        runner.run()
+        dt = time.time() - t0
+        print(f"reference train: {nepochs} epochs / {n_steps} steps in "
+              f"{dt:.0f}s ({dt / max(n_steps, 1):.2f} s/step)")
+        if args.timing_only:
+            return
+    else:
+        print(f"eval-only: resumed epoch {runner.start_epoch}")
 
     eval_reference_model(runner, out_dir, args.mesh_resolution,
                          views=args.views)
