@@ -19,14 +19,27 @@ from ..ops.mesh_extract import largest_component, marching_tetrahedra
 from ..utils.ply import write_ply
 
 
-def make_chunked_sdf(sdf_fn: Callable, chunk: int = 262144) -> Callable:
+def make_chunked_sdf(sdf_fn: Callable, chunk: int = 262144,
+                     jit: bool = True) -> Callable:
     """Wrap a jnp sdf into a host function evaluating big point sets in
     fixed-size jitted chunks (pad-last strategy; one compiled shape).
 
     All chunks are dispatched asynchronously and read back in ONE transfer:
     the remote-TPU runtime's device->host round trip is ~hundreds of ms, so
     per-chunk readbacks dominated marching-cubes grids (e.g. 1,650 blocking
-    readbacks for a 300^3 grid at the old 16k chunk)."""
+    readbacks for a 300^3 grid at the old 16k chunk).
+
+    jit=False accepts a plain host callable (numpy in -> numpy out, e.g. a
+    torch model in the head-to-head harness) — chunking only, no tracing."""
+    if not jit:
+        def eval_host(pts: np.ndarray) -> np.ndarray:
+            outs = [np.asarray(sdf_fn(pts[s:s + chunk]), dtype=np.float32)
+                    for s in range(0, len(pts), chunk)]
+            return (np.concatenate(outs, axis=0) if outs
+                    else np.empty(0, dtype=np.float32))
+
+        return eval_host
+
     jitted = jax.jit(sdf_fn)
 
     def eval_points(pts: np.ndarray) -> np.ndarray:
@@ -60,11 +73,12 @@ def get_surface_mesh(
     level: float = 0.0,
     chunk: int = 262144,
     keep_largest: bool = False,
+    jit: bool = True,
 ):
     """Single-pass extraction (utils/plots.py:110-144 role)."""
     if bounds is None:
         bounds = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
-    eval_pts = make_chunked_sdf(sdf_fn, chunk)
+    eval_pts = make_chunked_sdf(sdf_fn, chunk, jit=jit)
     pts, axes = grid_points(resolution, bounds)
     vals = eval_pts(pts).reshape(resolution, resolution, resolution)
     verts, faces = marching_tetrahedra(vals, level=level)
