@@ -127,12 +127,14 @@ class Evaluator:
         return out_path
 
     # -- rendering metrics -------------------------------------------------
-    def eval_rendering(self, out_dir: str, save_images: bool = True) -> Dict[str, float]:
+    def eval_rendering(self, out_dir: str, save_images: bool = True,
+                       views=None) -> Dict[str, float]:
         os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
         if save_images:
             os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
         psnrs, ssims, lpipss = [], [], []
-        for idx in range(len(self.dataset)):
+        view_ids = list(views) if views else list(range(len(self.dataset)))
+        for idx in view_ids:
             view = self.render_view(idx)
             mask = view["gt_mask"]
             # reference metric convention (eval.py:164-185): images mapped to
@@ -153,7 +155,7 @@ class Evaluator:
         for name, vals in [("psnrs", psnrs), ("ssims", ssims), ("lpips", lpipss)]:
             with open(os.path.join(out_dir, "metrics", f"{name}.csv"), "w", newline="") as f:
                 w = csv.writer(f)
-                for i, v in enumerate(vals):
+                for i, v in zip(view_ids, vals):
                     w.writerow([i, v])
         from ..models.lpips import weights_source
 

@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--is_uniform_grid", action="store_true")
     p.add_argument("--data_root", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument("--views", type=int, nargs="+", default=None,
+                   help="render only these view ids (default: all); use the "
+                        "same subset on both sides of a comparison")
     args = p.parse_args(argv)
 
     import jax
@@ -102,7 +105,7 @@ def main(argv=None):
               f"t mean {res['t_err_mean']:.4f} median {res['t_err_median']:.4f}")
 
     if args.eval_rendering:
-        metrics = ev.eval_rendering(eval_dir)
+        metrics = ev.eval_rendering(eval_dir, views=args.views)
         print(f"rendering: PSNR {metrics['psnr_mean']:.2f} "
               f"SSIM {metrics['ssim_mean']:.4f} LPIPS {metrics['lpips_mean']:.4f}")
 

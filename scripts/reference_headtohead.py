@@ -358,8 +358,19 @@ def main(argv=None):
     torch.set_num_threads(os.cpu_count() or 2)
     if not args.eval_only:
         n_steps = nepochs * len(runner.train_dataloader)
+        # the plot block (idr_train.py:231-273) renders the FULL image every
+        # plot_freq epochs AND at epoch 0 (0 % freq == 0) — plt.plot is
+        # already stubbed, but the forward itself would dominate CPU time.
+        # Empty the split so the plot-path forward never runs; restore the
+        # real split_input for the evaluation below.
+        import utils.general as ref_utils
+
+        real_split, real_merge = ref_utils.split_input, ref_utils.merge_output
+        it.utils.split_input = lambda model_input, total: []
+        it.utils.merge_output = lambda res, total, bs: {}
         t0 = time.time()
         runner.run()
+        it.utils.split_input, it.utils.merge_output = real_split, real_merge
         dt = time.time() - t0
         print(f"reference train: {nepochs} epochs / {n_steps} steps in "
               f"{dt:.0f}s ({dt / max(n_steps, 1):.2f} s/step)")
