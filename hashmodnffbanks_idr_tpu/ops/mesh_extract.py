@@ -63,40 +63,40 @@ def _build_tri_table() -> np.ndarray:
 _TRI_TABLE = _build_tri_table()
 
 
-def marching_tetrahedra(
-    values: np.ndarray, level: float = 0.0
-) -> Tuple[np.ndarray, np.ndarray]:
-    """values: (NX, NY, NZ) scalar field on an integer grid.
+def _slab_triangles(v: np.ndarray, x0: int, x1: int) -> np.ndarray:
+    """Triangles (F, 3, 3) for cubes with base x in [x0, x1).
 
-    Returns (verts (V, 3) in grid coordinates, faces (F, 3) int).
-    Surface = {x : values(x) == level}.
+    Only this slab's tets are ever materialized — the full-grid version
+    allocated (Ncubes*6, 4, 3) float64 (~19 GB at 320^3) before the active
+    filter; slabbing bounds peak memory by the slab size.
     """
-    v = values - level
-    nx, ny, nz = v.shape
-    cx, cy, cz = nx - 1, ny - 1, nz - 1
-    if min(cx, cy, cz) < 1:
-        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+    cx = x1 - x0
+    cy, cz = v.shape[1] - 1, v.shape[2] - 1
 
-    # cube corner values: (cx, cy, cz, 8)
     corner_vals = np.empty((cx, cy, cz, 8), dtype=v.dtype)
     for c in range(8):
         ox, oy, oz = _CUBE_OFFSETS[c]
-        corner_vals[..., c] = v[ox:ox + cx, oy:oy + cy, oz:oz + cz]
+        corner_vals[..., c] = v[x0 + ox:x0 + ox + cx, oy:oy + cy, oz:oz + cz]
 
-    base = np.stack(np.meshgrid(np.arange(cx), np.arange(cy), np.arange(cz),
-                                indexing="ij"), axis=-1).reshape(-1, 1, 3)
+    # per-cube active pre-filter: a cube whose 8 corners share a sign has no
+    # crossing in any of its 6 tets
+    neg = corner_vals < 0
+    mixed = neg.any(axis=-1) & ~neg.all(axis=-1)          # (cx, cy, cz)
+    if not mixed.any():
+        return np.zeros((0, 3, 3))
+    idx = np.argwhere(mixed)                              # (M, 3), slab coords
+    cube_vals = corner_vals[mixed]                        # (M, 8)
 
-    # (Ncubes, 6 tets, 4) values and (Ncubes, 6, 4, 3) corner positions
-    tet_vals = corner_vals.reshape(-1, 8)[:, _TETS]          # (N, 6, 4)
-    tet_pos = base[:, :, None, :] + _CUBE_OFFSETS[_TETS][None]  # (N, 6, 4, 3)
-
-    tet_vals = tet_vals.reshape(-1, 4)
-    tet_pos = tet_pos.reshape(-1, 4, 3).astype(np.float64)
+    base = idx.astype(np.float64)
+    base[:, 0] += x0
+    tet_vals = cube_vals[:, _TETS].reshape(-1, 4)         # (M*6, 4)
+    tet_pos = (base[:, None, None, :]
+               + _CUBE_OFFSETS[_TETS][None]).reshape(-1, 4, 3)
 
     case = ((tet_vals < 0) << np.arange(4)).sum(axis=-1)
     active = (case > 0) & (case < 15)
     if not active.any():
-        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+        return np.zeros((0, 3, 3))
     tet_vals = tet_vals[active]
     tet_pos = tet_pos[active]
     case = case[active]
@@ -120,7 +120,29 @@ def marching_tetrahedra(
         edge_pts[:, None, :, :].repeat(2, axis=1),
         tri_edge[..., None].repeat(3, axis=-1), axis=2,
     )  # (T, 2, 3verts, 3xyz)
-    tri_pts = tri_pts[valid]                 # (F, 3, 3)
+    return tri_pts[valid]                    # (F, 3, 3)
+
+
+def marching_tetrahedra(
+    values: np.ndarray, level: float = 0.0, slab: int = 16
+) -> Tuple[np.ndarray, np.ndarray]:
+    """values: (NX, NY, NZ) scalar field on an integer grid.
+
+    Returns (verts (V, 3) in grid coordinates, faces (F, 3) int).
+    Surface = {x : values(x) == level}.  Processes x-slabs of `slab` cube
+    layers at a time; welding is global, so boundary vertices match.
+    """
+    v = values - level
+    nx, ny, nz = v.shape
+    cx = nx - 1
+    if min(cx, ny - 1, nz - 1) < 1:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+
+    chunks = [_slab_triangles(v, x0, min(x0 + slab, cx))
+              for x0 in range(0, cx, slab)]
+    tri_pts = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 3, 3))
+    if len(tri_pts) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
 
     verts_all = tri_pts.reshape(-1, 3)
     # weld duplicate vertices (quantize to grid-relative tolerance)
