@@ -38,6 +38,7 @@ def main(argv=None):
                    help="host:port of process 0 for multi-host runs")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
     import jax
@@ -63,6 +64,7 @@ def main(argv=None):
         timestamp=args.timestamp,
         checkpoint=args.checkpoint,
         data_root=args.data_root,
+        seed=args.seed,
         log_tensorboard=not args.no_tensorboard,
     )
     runner.run()

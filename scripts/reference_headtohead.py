@@ -269,7 +269,7 @@ def eval_reference_model(runner, out_dir: str, mesh_resolution: int,
             return model.implicit_network(t)[:, 0].detach().numpy()
 
     verts, faces = get_surface_mesh(sdf_np, resolution=mesh_resolution,
-                                    keep_largest=False)
+                                    keep_largest=False, jit=False)
     mesh_path = os.path.join(out_dir, "surface_world_coordinates_ref.ply")
     write_ply(mesh_path, verts, faces)
 
