@@ -60,7 +60,9 @@ def main(argv=None):
 
     conf = parse_file(args.conf)
     scan_id = args.scan_id if args.scan_id != -1 else conf.get_int("dataset.scan_id", -1)
-    expname = conf.get_string("train.expname") + args.expname
+    # non-empty --expname REPLACES the conf expname (matching
+    # train.exp_runner; deviation from the reference's append semantics)
+    expname = args.expname or conf.get_string("train.expname")
     if scan_id != -1:
         expname += f"_{scan_id}"
 

@@ -171,7 +171,11 @@ class IDRTrainRunner:
         self.train_cameras = train_cameras
         self.mesh = mesh
 
-        self.expname = self.conf.get_string("train.expname") + expname
+        # deviation from idr_train.py:35 (which *appends* kwargs['expname'] to
+        # the conf name, yielding e.g. 'headtohead_oursheadtohead_ours_seed1'
+        # when callers pass a full name): a non-empty --expname REPLACES the
+        # conf expname
+        self.expname = expname or self.conf.get_string("train.expname")
         if scan_id == -1:
             scan_id = self.conf.get_int("dataset.scan_id", -1)
         if scan_id != -1:
