@@ -22,43 +22,36 @@ import time
 import numpy as np
 
 
-def main():
+def _measure(conf, num_pixels, scene, n_windows, win_steps, label):
+    """Train-step throughput for one conf: median of n_windows x win_steps
+    wall-clock windows with a dependent host readback at each window end
+    (per-step block_until_ready under-reports on this platform; very deep
+    unsynced queues degrade it).  The first post-compile steps can run
+    pathologically slowly on this remote-TPU runtime (observed ~38 s/step
+    before snapping to steady state), so a short flush window absorbs that
+    transient.  Median over >= 3 windows keeps the number statistically
+    boring (round-1's min-window read as a regression; VERDICT r1 Weak #1)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from hashmodnffbanks_idr_tpu.utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
-
     from hashmodnffbanks_idr_tpu.models.loss import IDRLossConfig
     from hashmodnffbanks_idr_tpu.models.renderer import IDRNetwork
-    from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene
     from hashmodnffbanks_idr_tpu.train.trainer import build_train_step
+    from hashmodnffbanks_idr_tpu.utils.sampling import sample_pixels
 
-    num_pixels = 2048
-    conf = flagship_conf(num_pixels=num_pixels, small=False)
     model = IDRNetwork(conf.get_config("model"))
     loss_cfg = IDRLossConfig(eikonal_weight=0.1, mask_weight=200.0, alpha=50.0)
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
-
     params = model.init(jax.random.PRNGKey(0))
     state = {"params": params, "opt_state": optimizer.init(params)}
-
-    # DTU-shaped scene (1600x1200), 2 views is enough for the step shape
-    scene_np = synthetic_scene(n_views=2, img_res=(1200, 1600), seed=0)
-    scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
 
     step = build_train_step(model, loss_cfg, optimizer)
     img_idx = jnp.asarray([0], dtype=jnp.int32)
     alpha = jnp.asarray(50.0, dtype=jnp.float32)
-
-    from hashmodnffbanks_idr_tpu.utils.sampling import sample_pixels
-
     rng = jax.random.PRNGKey(1)
     pix_fn = jax.jit(lambda k: sample_pixels(k, 1200 * 1600, num_pixels))
 
-    # warmup (compile)
     t0 = time.time()
     for i in range(2):
         k = jax.random.fold_in(rng, i)
@@ -66,13 +59,6 @@ def main():
     jax.block_until_ready(state["params"])
     compile_time = time.time() - t0
 
-    # wall-clock windows with a dependent host readback at each window end
-    # (per-step block_until_ready under-reports on this platform; very deep
-    # unsynced queues degrade it).  The first post-compile steps can run
-    # pathologically slowly on this remote-TPU runtime (observed ~38 s/step
-    # before snapping to steady state), so a short flush window absorbs that
-    # transient; the best timed window — the device's steady-state capability
-    # — is reported, per-window numbers go to stderr.
     i = 2
     for _ in range(int(os.environ.get("BENCH_FLUSH_STEPS", "4"))):
         k = jax.random.fold_in(rng, i)
@@ -80,11 +66,6 @@ def main():
         float(losses["loss"])
         i += 1
 
-    # Statistically boring timing: >=5 windows x >=40 steps, report the
-    # MEDIAN window (round-1's 3x20-step min-window was noisy enough to
-    # read as a regression; see VERDICT.md Weak #1).
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    win_steps = int(os.environ.get("BENCH_STEPS", "40"))
     window_times = []
     for _ in range(n_windows):
         t0 = time.time()
@@ -96,13 +77,51 @@ def main():
         window_times.append(time.time() - t0)
     dt = float(np.median(window_times))
     spread = (max(window_times) - min(window_times)) / dt
-    n_steps = win_steps
 
-    print("# windows ms/step: "
+    print(f"# {label} windows ms/step: "
           + " ".join(f"{t / win_steps * 1000:.1f}" for t in window_times)
           + f"  (median {dt / win_steps * 1000:.1f}, spread {spread:.1%})",
           file=sys.stderr)
-    rays_per_s = n_steps * num_pixels / dt
+    print(f"# {label}: device={jax.devices()[0].device_kind} "
+          f"steps={win_steps} step_time={dt/win_steps*1000:.1f}ms "
+          f"compile={compile_time:.1f}s loss={loss:.4f}", file=sys.stderr)
+    return win_steps * num_pixels / dt, dt / win_steps * 1000.0
+
+
+def main():
+    import jax.numpy as jnp
+
+    from hashmodnffbanks_idr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene
+
+    num_pixels = 2048
+    # DTU-shaped scene (1600x1200), 2 views is enough for the step shape
+    scene_np = synthetic_scene(n_views=2, img_res=(1200, 1600), seed=0)
+    scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    win_steps = int(os.environ.get("BENCH_STEPS", "40"))
+
+    conf = flagship_conf(num_pixels=num_pixels, small=False)
+    rays_per_s, _ = _measure(conf, num_pixels, scene, n_windows, win_steps,
+                             "flagship StyleModNFFB")
+
+    # production large-table preset (the reference's Tcnn/CUDA confs use
+    # log2_max_hash_size=15): regression-guards the page-packed gather path
+    # + the level-pruned tracer guidance each round (VERDICT r3 item 7)
+    ngp_ms = None
+    if os.environ.get("BENCH_SKIP_NGP", "0") != "1":
+        conf_ngp = flagship_conf(num_pixels=num_pixels, small=False,
+                                 embed_type="HashGridTcnn")
+        conf_ngp.put("model.embedding_network.log2_max_hash_size", 15)
+        conf_ngp.put("model.ray_tracer.prune_levels_march", 16)
+        conf_ngp.put("model.ray_tracer.prune_levels_coarse", 16)
+        conf_ngp.put("model.ray_tracer.prune_secant_iters", 4)
+        _, ngp_ms = _measure(conf_ngp, num_pixels, scene, max(3, n_windows - 2),
+                             max(20, win_steps // 2), "ngp log2=15")
 
     baseline = 1.0
     vs = 1.0
@@ -115,15 +134,15 @@ def main():
         except Exception:
             pass
 
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
-    }))
-    print(f"# device={jax.devices()[0].device_kind} steps={n_steps} "
-          f"step_time={dt/n_steps*1000:.1f}ms compile={compile_time:.1f}s "
-          f"loss={loss:.4f}", file=sys.stderr)
+    }
+    if ngp_ms is not None:
+        out["presets"] = {"ngp_log2_15_step_ms": round(ngp_ms, 2)}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

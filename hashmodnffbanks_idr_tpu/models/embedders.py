@@ -208,19 +208,39 @@ class HashGridNGPEmbedder(Embedder):
     def init(self, key):
         return {"table": hg.init_table(key, self.spec)}
 
-    def apply(self, params, x, fast: bool = False):
+    def apply(self, params, x, fast: bool = False,
+              max_level: Optional[int] = None, fill=None,
+              floor_interp: bool = False):
+        """``max_level``/``fill``: level-pruned guidance encode — gather only
+        the ``max_level`` coarsest levels, filling the rest with the constant
+        ``fill`` (see ops/hashgrid.py:hash_encode).  ``floor_interp``: gather
+        only the floor corner per level (1 instead of 2^D gathers) — the
+        cheap approximation for the tracer's guidance queries.  Both are used
+        by approximate-SDF guidance only; defaults = exact."""
+        spec = self.spec
+        if floor_interp and spec.interpolation != "floor":
+            import dataclasses as _dc
+            spec = _dc.replace(spec, interpolation="floor")
+        if max_level is not None and max_level >= spec.num_levels:
+            max_level = None
         if self.input_range == "unit":
             xin = (x + self.size) / (2 * self.size)
-            grid = hg.hash_encode(xin, params["table"], self.spec,
-                                  zero_oob=True, inference=fast)
+            grid = hg.hash_encode(xin, params["table"], spec,
+                                  zero_oob=True, inference=fast,
+                                  max_level=max_level, fill=fill)
             head = xin
         else:
-            grid = hg.hash_encode(x, params["table"], self.spec,
-                                  zero_oob=False, inference=fast)
+            grid = hg.hash_encode(x, params["table"], spec,
+                                  zero_oob=False, inference=fast,
+                                  max_level=max_level, fill=fill)
             head = x
         if self.include_input:
             return jnp.concatenate([head, grid], axis=-1)
         return grid
+
+    def level_fill(self, params):
+        """Per-level mean features (L, C) for pruned-level fill."""
+        return hg.level_means(params["table"], self.spec)
 
 
 # ---------------------------------------------------------------------------

@@ -166,7 +166,9 @@ class ImplicitNetwork:
         return params
 
     # -- apply ------------------------------------------------------------
-    def apply(self, params, x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
+    def apply(self, params, x: jnp.ndarray, fast: bool = False,
+              max_level: Optional[int] = None,
+              floor_interp: bool = False) -> jnp.ndarray:
         """x (N, 3) -> (N, 1 + feature_vector_size); channel 0 is the
         Laplace-tanh-clamped SDF (impl..._renderer.py:89-113).
 
@@ -178,7 +180,8 @@ class ImplicitNetwork:
         resolution cannot survive bf16)."""
         cdt = jnp.bfloat16 if fast else None
         if self.embedder is not None:
-            inp = self._embed(params["embed"], x, fast)
+            inp = self._embed(params["embed"], x, fast, max_level=max_level,
+                              floor_interp=floor_interp)
         else:
             inp = x
         h = inp
@@ -195,7 +198,18 @@ class ImplicitNetwork:
         sdf = jnp.tanh(sdf_raw / (2.0 + dens))
         return jnp.concatenate([sdf[..., None], h[..., 1:]], axis=-1)
 
-    def _embed(self, p_embed, x, fast: bool):
+    def _embed(self, p_embed, x, fast: bool, max_level=None,
+               floor_interp=False):
+        if ((max_level is not None or floor_interp)
+                and self.supports_level_pruning()):
+            nl = self.embedder.spec.num_levels
+            if max_level is not None and max_level >= nl:
+                max_level = None
+            return self.embedder.apply(
+                p_embed, x, fast=fast, max_level=max_level,
+                fill=(self.embedder.level_fill(p_embed)
+                      if max_level is not None else None),
+                floor_interp=floor_interp)
         if fast:
             try:
                 return self.embedder.apply(p_embed, x, fast=True)
@@ -206,8 +220,23 @@ class ImplicitNetwork:
     def sdf(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, x)[..., 0]
 
-    def make_fast_sdf(self, params, interpret: bool = False):
+    def supports_level_pruning(self) -> bool:
+        """True when the embedder can serve level-pruned guidance queries."""
+        return (self.embedder is not None
+                and hasattr(self.embedder, "level_fill"))
+
+    def make_fast_sdf(self, params, interpret: bool = False,
+                      max_level: Optional[int] = None,
+                      floor_interp: bool = False):
         """SDF closure for the gradient-stopped tracer.
+
+        ``max_level=K`` / ``floor_interp`` (require
+        :meth:`supports_level_pruning`) return a *guidance* SDF: the embedder
+        gathers only the K coarsest hash levels (rest filled with their
+        per-level table means) and/or only the floor corner per level (1
+        instead of 2^D gathers) — approximations used for the tracer's
+        march/coarse-probe queries (RayTracerConfig.prune_*), never for
+        surface decisions.
 
         Preference order: (1) the fused-MLP Pallas kernel (ops/fused_mlp.py)
         fed by the jnp encoder, (2) the bf16 mixed-precision jnp path.
@@ -224,14 +253,44 @@ class ImplicitNetwork:
         """
         from ..ops import fused_mlp as fm
 
+        if not self.supports_level_pruning():
+            max_level = None
+            floor_interp = False
+        if max_level is not None and max_level >= getattr(
+                getattr(self.embedder, "spec", None), "num_levels", 0):
+            max_level = None
+        fill = (self.embedder.level_fill(params["embed"])
+                if max_level is not None else None)
+
+        def embed(x):
+            if self.embedder is None:
+                return x
+            if max_level is not None or floor_interp:
+                return self.embedder.apply(params["embed"], x, fast=True,
+                                           max_level=max_level, fill=fill,
+                                           floor_interp=floor_interp)
+            return self._embed(params["embed"], x, fast=True)
+
         if not fm.supports_fusion(self.dims, self.skip_in):
-            return lambda x: self.apply(params, x, fast=True)[..., 0]
+            def sdf_slow(x):
+                h = inp = embed(x)
+                for l in range(self.num_layers - 1):
+                    if l in self.skip_in:
+                        h = jnp.concatenate([h, inp], axis=1) / np.sqrt(2)
+                    h = apply_linear(params["lin"][l], h,
+                                     compute_dtype=jnp.bfloat16)
+                    if l < self.num_layers - 2:
+                        h = softplus(h, beta=100.0)
+                raw = h[..., 0]
+                dens = self.density.apply(params["density"], raw)
+                return jnp.tanh(raw / (2.0 + dens))
+
+            return sdf_slow
 
         packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
 
         def sdf_fast(x):
-            inp = (self._embed(params["embed"], x, fast=True)
-                   if self.embedder is not None else x)
+            inp = embed(x)
             raw = fm.fused_sdf_raw(inp, packed, self.dims[0], self.dims[1],
                                    interpret=interpret)
             dens = self.density.apply(params["density"], raw)

@@ -47,15 +47,46 @@ class RayTracerConfig(NamedTuple):
     # (see _hierarchical_sweep).  Dense fallback when n_steps has no suitable
     # coarse stride.
     hierarchical_sweep: bool = True
+    # --- level-pruned guidance (large-table hash-grid presets) ------------
+    # The tracer's *guidance* queries (sphere-trace march, sweep coarse
+    # probes) don't need full encoder accuracy: with prune_levels_march /
+    # prune_levels_coarse = K > 0 they run an SDF whose hash encode gathers
+    # only the K coarsest levels (pruned levels filled with their table
+    # means, ops/hashgrid.py:level_means).  *Decision* queries — sweep fine
+    # probes, the first-flip interval endpoints (re-evaluated, see
+    # _hierarchical_sweep), secant, everything differentiable — stay exact.
+    # After the pruned march, prune_march_polish_iters full-SDF iterations
+    # re-march rays whose pruned convergence (|sdf_pruned| < prune_march_tau)
+    # was premature.  0/0 disables pruning entirely (default — golden-exact).
+    prune_levels_march: int = 0
+    prune_levels_coarse: int = 0
+    prune_march_polish_iters: int = 3
+    prune_march_tau: float = 5.0e-3
+    # Guidance SDFs gather only the floor corner per level (1 instead of 2^D
+    # gathers) — cheaper than level pruning alone and keeps all frequency
+    # bands; combine with prune_levels_* = num_levels to get floor-only
+    # guidance.  Applies to every guidance query.
+    prune_floor_interp: bool = True
+    # First m secant iterations use the guidance SDF (brackets re-tighten on
+    # the exact SDF in the remaining iterations).  0 = all-exact secant.
+    prune_secant_iters: int = 0
 
 
-def _sweep_stride(n: int):
+def _sweep_stride(n: int, pruned_coarse: bool = False):
     """Coarse stride s with (n-1) % s == 0 so coarse probes sit ON the dense
-    grid and every interval has exactly s-1 interior grid points."""
-    for s in (9, 8, 10, 7, 11, 6, 12, 5, 4, 3):
-        if n > 2 * s and (n - 1) % s == 0:
-            return s
-    return None
+    grid and every interval has exactly s-1 interior grid points.
+
+    When the coarse probes run on the pruned guidance SDF their per-probe
+    cost drops ~2.5x, which flips the optimal stride to the smallest one:
+    many cheap coarse probes + tiny full-accuracy refined intervals."""
+    cands = (9, 8, 10, 7, 11, 6, 12, 5, 4, 3)
+    valid = [s for s in cands if n > 2 * s and (n - 1) % s == 0]
+    if not valid:
+        return None
+    if pruned_coarse:
+        # minimize pruned-coarse + full-fine cost (c_pruned ~ 0.4)
+        return min(valid, key=lambda s: ((n - 1) // s + 1) * 0.4 + 3 * (s - 1))
+    return valid[0]
 
 
 class TraceResult(NamedTuple):
@@ -72,10 +103,18 @@ def ray_trace(
     ray_directions: jnp.ndarray,  # (B, P, 3)
     rng: jax.Array,
     training: bool = True,
+    sdf_guidance=None,           # {'march': fn, 'coarse': fn} pruned SDFs
 ) -> TraceResult:
-    """Full tracer (ray_tracing.py:26-95), flattened to R = B*P rays."""
+    """Full tracer (ray_tracing.py:26-95), flattened to R = B*P rays.
+
+    ``sdf_guidance`` supplies level-pruned approximate SDFs for the guidance
+    stages enabled in ``cfg`` (see RayTracerConfig.prune_*); None entries /
+    None fall back to the exact ``sdf`` everywhere."""
     B, P, _ = ray_directions.shape
     R = B * P
+    guide = sdf_guidance or {}
+    sdf_march = guide.get("march") if cfg.prune_levels_march > 0 else None
+    sdf_coarse = guide.get("coarse") if cfg.prune_levels_coarse > 0 else None
 
     sphere_int, mask_intersect = get_sphere_intersection(
         cam_loc, ray_directions, r=cfg.object_bounding_sphere
@@ -88,7 +127,8 @@ def ray_trace(
 
     (curr_start_points, unfinished_mask_start, acc_start_dis, acc_end_dis,
      min_dis, max_dis) = _sphere_tracing(cfg, sdf, cam_flat, dirs_flat,
-                                         mask_intersect, near, far)
+                                         mask_intersect, near, far,
+                                         sdf_march=sdf_march)
 
     network_object_mask = acc_start_dis < acc_end_dis
 
@@ -106,7 +146,8 @@ def ray_trace(
     t0 = jnp.where(sampler_mask, acc_start_dis, min_dis_eff)
     t1 = jnp.where(sampler_mask, acc_end_dis, max_dis)
 
-    stride = _sweep_stride(n) if cfg.hierarchical_sweep else None
+    stride = (_sweep_stride(n, pruned_coarse=sdf_coarse is not None)
+              if cfg.hierarchical_sweep else None)
     if stride is None:
         # dense sweep — every grid point evaluated (reference ray_tracing.py:
         # 204-208 and :277 exactly)
@@ -117,14 +158,18 @@ def ray_trace(
         points = cam_flat[:, None, :] + pts_intervals[..., None] * dirs_flat[:, None, :]
         sdf_val = sdf(points.reshape(-1, 3)).reshape(R, n)
         idx_grid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (R, n))
+        exact_mask = None
     else:
-        idx_grid, pts_intervals, points, sdf_val = _hierarchical_sweep(
-            cfg, sdf, cam_flat, dirs_flat, sampler_mask, t0, t1, rng, stride
+        idx_grid, pts_intervals, points, sdf_val, exact_mask = _hierarchical_sweep(
+            cfg, sdf, cam_flat, dirs_flat, sampler_mask, t0, t1, rng, stride,
+            sdf_coarse=sdf_coarse,
         )
 
     sampler_pts, sampler_net_obj_mask, sampler_dists = _ray_sampler(
         cfg, sdf, cam_flat, dirs_flat, object_mask,
-        idx_grid, points, pts_intervals, sdf_val, sampler_mask, training
+        idx_grid, points, pts_intervals, sdf_val, sampler_mask, training,
+        sdf_guide=(sdf_coarse if cfg.prune_secant_iters > 0 else None),
+        exact_mask=exact_mask,
     )
     curr_start_points = jnp.where(sampler_mask[:, None], sampler_pts, curr_start_points)
     acc_start_dis = jnp.where(sampler_mask, sampler_dists, acc_start_dis)
@@ -161,15 +206,44 @@ def ray_trace(
 # sphere tracing (ray_tracing.py:98-187)
 # ---------------------------------------------------------------------------
 
-def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
+def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far,
+                    sdf_march=None):
+    """Bidirectional march.  With ``sdf_march`` (level-pruned guidance SDF):
+    phase A marches the full iteration budget on the cheap pruned SDF to a
+    loose tolerance (prune_march_tau), then phase B re-marches with the exact
+    SDF for prune_march_polish_iters — rays whose pruned convergence was
+    premature are re-activated by the resume re-initialization."""
+    if sdf_march is not None:
+        st_a = _march(cfg, sdf_march, cam, dirs, mask_intersect, near, far,
+                      iters=cfg.sphere_tracing_iters,
+                      threshold=cfg.prune_march_tau)
+        return _march(cfg, sdf, cam, dirs, mask_intersect, near, far,
+                      iters=cfg.prune_march_polish_iters,
+                      threshold=cfg.sdf_threshold,
+                      resume=(st_a[2], st_a[3]))
+    return _march(cfg, sdf, cam, dirs, mask_intersect, near, far,
+                  iters=cfg.sphere_tracing_iters, threshold=cfg.sdf_threshold)
+
+
+def _march(cfg, sdf, cam, dirs, mask_intersect, near, far, *, iters,
+           threshold, resume=None):
     R = cam.shape[0]
 
-    unfin_s0 = mask_intersect
-    unfin_e0 = mask_intersect
-    acc_s0 = jnp.where(unfin_s0, near, 0.0)
-    acc_e0 = jnp.where(unfin_e0, far, 0.0)
-    min_dis = acc_s0
-    max_dis = acc_e0
+    min_dis = jnp.where(mask_intersect, near, 0.0)
+    max_dis = jnp.where(mask_intersect, far, 0.0)
+    if resume is None:
+        unfin_s0 = mask_intersect
+        unfin_e0 = mask_intersect
+        acc_s0 = min_dis
+        acc_e0 = max_dis
+    else:
+        # phase-B resume: continue from phase A's accumulated distances; a
+        # ray stays (or becomes again) live iff it still has interval left —
+        # the exact-SDF re-evaluation below then re-checks its convergence
+        acc_s0, acc_e0 = resume
+        live = mask_intersect & (acc_s0 < acc_e0)
+        unfin_s0 = live
+        unfin_e0 = live
 
     pts_s0 = cam + acc_s0[:, None] * dirs
     pts_e0 = cam + acc_e0[:, None] * dirs
@@ -186,19 +260,19 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
     next_e0 = jnp.where(unfin_e0, e0, 0.0)
 
     def clamp(v):
-        return jnp.where(v <= cfg.sdf_threshold, 0.0, v)
+        return jnp.where(v <= threshold, 0.0, v)
 
     # reference loop head: derive curr from next, clamp, update masks
     curr_s0 = clamp(jnp.where(unfin_s0, next_s0, 0.0))
     curr_e0 = clamp(jnp.where(unfin_e0, next_e0, 0.0))
-    unfin_s0 = unfin_s0 & (curr_s0 > cfg.sdf_threshold)
-    unfin_e0 = unfin_e0 & (curr_e0 > cfg.sdf_threshold)
+    unfin_s0 = unfin_s0 & (curr_s0 > threshold)
+    unfin_e0 = unfin_e0 & (curr_e0 > threshold)
 
     State = tuple
 
     def cond(st: State):
         it, unfin_s, unfin_e, *_ = st
-        return (it < cfg.sphere_tracing_iters) & (jnp.any(unfin_s) | jnp.any(unfin_e))
+        return (it < iters) & (jnp.any(unfin_s) | jnp.any(unfin_e))
 
     def body(st: State):
         (it, unfin_s, unfin_e, acc_s, acc_e, curr_s, curr_e, curr_pts) = st
@@ -238,11 +312,11 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
 
         # loop head of the next iteration (ray_tracing.py:131-142)
         curr_s = jnp.where(unfin_s, next_s, 0.0)
-        curr_s = jnp.where(curr_s <= cfg.sdf_threshold, 0.0, curr_s)
+        curr_s = jnp.where(curr_s <= threshold, 0.0, curr_s)
         curr_e = jnp.where(unfin_e, next_e, 0.0)
-        curr_e = jnp.where(curr_e <= cfg.sdf_threshold, 0.0, curr_e)
-        unfin_s = unfin_s & (curr_s > cfg.sdf_threshold)
-        unfin_e = unfin_e & (curr_e > cfg.sdf_threshold)
+        curr_e = jnp.where(curr_e <= threshold, 0.0, curr_e)
+        unfin_s = unfin_s & (curr_s > threshold)
+        unfin_e = unfin_e & (curr_e > threshold)
 
         curr_pts = cam + acc_s[:, None] * dirs
         return (it + 1, unfin_s, unfin_e, acc_s, acc_e, curr_s, curr_e, curr_pts)
@@ -257,7 +331,8 @@ def _sphere_tracing(cfg, sdf, cam, dirs, mask_intersect, near, far):
 # sweep sampler + secant (ray_tracing.py:189-268)
 # ---------------------------------------------------------------------------
 
-def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride):
+def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride,
+                        sdf_coarse=None):
     """Evaluate the n_steps linspace grid hierarchically.
 
     Coarse pass: probes at grid indices {0, s, 2s, ..., n-1} (exactly on the
@@ -290,7 +365,7 @@ def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride):
     u_c = jnp.where(sampler_mask[:, None], lin01_c[None, :], rand01_c[None, :])
     t_c = t0[:, None] + u_c * (t1 - t0)[:, None]
     pts_c = cam[:, None, :] + t_c[..., None] * dirs[:, None, :]
-    v_c = sdf(pts_c.reshape(-1, 3)).reshape(R, n_c)
+    v_c = (sdf_coarse or sdf)(pts_c.reshape(-1, 3)).reshape(R, n_c)
 
     # choose refined intervals (interval k = grid range (ic[k-1], ic[k]])
     slot = jnp.arange(n_c, dtype=jnp.int32)[None, :]
@@ -311,21 +386,55 @@ def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride):
     )
     t_f = t0[:, None] + u_f * (t1 - t0)[:, None]
     pts_f = cam[:, None, :] + t_f[..., None] * dirs[:, None, :]
-    v_f = sdf(pts_f.reshape(-1, 3)).reshape(R, n_f)
+
+    exact_mask = None
+    if sdf_coarse is not None and sdf_coarse is not sdf:
+        # Pruned coarse probes are guidance only: the single exact-SDF fine
+        # call also re-evaluates every refined interval's endpoint slots
+        # (first-flip interval + both argmin intervals, <= 5 distinct coarse
+        # slots) and writes them back into v_c.  Together with the fine
+        # interiors, every entry inside a refined interval is then exact, so
+        # the sampler's first-flip decision (restricted to exact entries via
+        # exact_mask), its secant bracket, and the bracket's predecessor are
+        # all full-accuracy.  Interval *choice* stays approximate — bounded
+        # by one coarse interval of the dense grid.
+        slots_e = jnp.stack([
+            k_flip - 1, k_flip,
+            jnp.clip(m_slot - 1, 0, n_c - 1), m_slot,
+            jnp.clip(m_slot + 1, 0, n_c - 1),
+        ], axis=-1)                                                  # (R, 5)
+        t_ends = jnp.take_along_axis(t_c, slots_e, axis=1)           # (R, 5)
+        p_ends = cam[:, None, :] + t_ends[..., None] * dirs[:, None, :]
+        fused = jnp.concatenate([pts_f.reshape(-1, 3),
+                                 p_ends.reshape(-1, 3)], axis=0)
+        v_fused = sdf(fused)
+        v_f = v_fused[: R * n_f].reshape(R, n_f)
+        v_ends = v_fused[R * n_f:].reshape(R, 5)
+        rows = jnp.arange(R)[:, None]
+        v_c = v_c.at[rows, slots_e].set(v_ends)
+        exact_c = jnp.zeros((R, n_c), dtype=bool).at[rows, slots_e].set(True)
+        exact_mask = jnp.concatenate(
+            [exact_c, jnp.ones((R, n_f), dtype=bool)], axis=1)
+    else:
+        v_f = sdf(pts_f.reshape(-1, 3)).reshape(R, n_f)
 
     idx_grid = jnp.concatenate(
         [jnp.broadcast_to(ic[None, :], (R, n_c)), idx_f], axis=1)
     t_all = jnp.concatenate([t_c, t_f], axis=1)
     pts_all = jnp.concatenate([pts_c, pts_f], axis=1)
     v_all = jnp.concatenate([v_c, v_f], axis=1)
-    return idx_grid, t_all, pts_all, v_all
+    return idx_grid, t_all, pts_all, v_all, exact_mask
 
 
 def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
-                 pts_intervals, sdf_val, sampler_mask, training):
+                 pts_intervals, sdf_val, sampler_mask, training,
+                 sdf_guide=None, exact_mask=None):
     """Consumes the fused sweep's evaluated probes — (grid index, t, point,
     sdf) tuples, dense or hierarchical; only rows where sampler_mask are
-    meaningful (others carry the min-SDF pattern)."""
+    meaningful (others carry the min-SDF pattern).  ``exact_mask`` marks the
+    entries evaluated with the exact SDF in guided mode — sign decisions
+    (first-flip / surface-hit) are restricted to them so pruned guidance
+    values can never create phantom surface hits."""
     n = cfg.n_steps
 
     # first NEGATIVE grid index — the reference's sign*rank argmin trick
@@ -333,7 +442,10 @@ def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
     # negative the reference lands on n-1 (and every consumer of that row is
     # overridden by the p_out branch below, so the value itself is inert).
     BIG = jnp.int32(n)
-    gneg = jnp.min(jnp.where(sdf_val < 0, idx_grid, BIG), axis=-1)   # (R,)
+    neg = sdf_val < 0
+    if exact_mask is not None:
+        neg = neg & exact_mask
+    gneg = jnp.min(jnp.where(neg, idx_grid, BIG), axis=-1)           # (R,)
     net_surface_pts = gneg < BIG
     ind = jnp.where(net_surface_pts, gneg, n - 1)
 
@@ -369,7 +481,8 @@ def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
     z_high = t_at_ind
     sdf_high = sdf_at_ind
     sdf_low, z_low, _ = extract(prev)
-    z_pred = _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, secant_pts)
+    z_pred = _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs,
+                     secant_pts, sdf_guide=sdf_guide)
 
     sec_points = cam + z_pred[:, None] * dirs
     sampler_pts = jnp.where(secant_pts[:, None], sec_points, sampler_pts)
@@ -378,30 +491,41 @@ def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
     return sampler_pts, sampler_net_obj_mask, sampler_dists
 
 
-def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active):
-    """Fixed n_secant_steps iterations, masked (ray_tracing.py:251-268)."""
+def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active,
+            sdf_guide=None):
+    """Fixed n_secant_steps iterations, masked (ray_tracing.py:251-268).
+
+    With ``sdf_guide`` and cfg.prune_secant_iters = m > 0, the first m
+    iterations bisect on the cheap guidance SDF; the remaining iterations
+    re-tighten the bracket on the exact SDF (every kept bracket endpoint from
+    the guide phase is superseded once an exact evaluation lands on its
+    side, and z_pred is always recomputed from the current bracket)."""
 
     def safe_div(a, b):
         return a / jnp.where(jnp.abs(b) < 1e-12, jnp.where(b < 0, -1e-12, 1e-12), b)
 
     z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
 
-    def body(_, carry):
-        z_low, sdf_low, z_high, sdf_high, z_pred = carry
-        p_mid = cam + z_pred[:, None] * dirs
-        sdf_mid = jnp.where(active, sdf(p_mid), 0.0)
-        ind_low = sdf_mid > 0
-        z_low = jnp.where(ind_low, z_pred, z_low)
-        sdf_low = jnp.where(ind_low, sdf_mid, sdf_low)
-        ind_high = sdf_mid < 0
-        z_high = jnp.where(ind_high, z_pred, z_high)
-        sdf_high = jnp.where(ind_high, sdf_mid, sdf_high)
-        z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
-        return (z_low, sdf_low, z_high, sdf_high, z_pred)
+    def make_body(fn):
+        def body(_, carry):
+            z_low, sdf_low, z_high, sdf_high, z_pred = carry
+            p_mid = cam + z_pred[:, None] * dirs
+            sdf_mid = jnp.where(active, fn(p_mid), 0.0)
+            ind_low = sdf_mid > 0
+            z_low = jnp.where(ind_low, z_pred, z_low)
+            sdf_low = jnp.where(ind_low, sdf_mid, sdf_low)
+            ind_high = sdf_mid < 0
+            z_high = jnp.where(ind_high, z_pred, z_high)
+            sdf_high = jnp.where(ind_high, sdf_mid, sdf_high)
+            z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+            return (z_low, sdf_low, z_high, sdf_high, z_pred)
+        return body
 
-    carry = jax.lax.fori_loop(
-        0, cfg.n_secant_steps, body, (z_low, sdf_low, z_high, sdf_high, z_pred)
-    )
+    carry = (z_low, sdf_low, z_high, sdf_high, z_pred)
+    m = min(cfg.prune_secant_iters, cfg.n_secant_steps) if sdf_guide else 0
+    if m > 0:
+        carry = jax.lax.fori_loop(0, m, make_body(sdf_guide), carry)
+    carry = jax.lax.fori_loop(m, cfg.n_secant_steps, make_body(sdf), carry)
     return carry[-1]
 
 

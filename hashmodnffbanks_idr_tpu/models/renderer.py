@@ -77,10 +77,11 @@ class IDRNetwork:
 
         p_impl = params["implicit_network"]
         p_impl_ng = jax.lax.stop_gradient(p_impl)
+        on_tpu = jax.default_backend() == "tpu"
         if self.tracer_fast:
             # Pallas fused-MLP kernel on TPU; interpret mode elsewhere is
             # slower than the jnp path, so fall back to bf16 jnp off-TPU.
-            if jax.default_backend() == "tpu":
+            if on_tpu:
                 sdf_fast = self.implicit_network.make_fast_sdf(p_impl_ng)
             else:
                 sdf_fast = lambda x: self.implicit_network.apply(
@@ -88,11 +89,36 @@ class IDRNetwork:
         else:
             sdf_fast = lambda x: self.implicit_network.sdf(p_impl_ng, x)
 
+        # level-pruned guidance SDFs for the tracer's march / coarse-probe
+        # queries (RayTracerConfig.prune_*; only large-table hash-grid
+        # embedders support pruning — others trace exactly)
+        sdf_guidance = None
+        rt_cfg = self.ray_tracer
+        if (self.tracer_fast
+                and (rt_cfg.prune_levels_march > 0 or rt_cfg.prune_levels_coarse > 0)
+                and self.implicit_network.supports_level_pruning()):
+            fi = rt_cfg.prune_floor_interp
+
+            def _pruned(K):
+                if on_tpu:
+                    return self.implicit_network.make_fast_sdf(
+                        p_impl_ng, max_level=K, floor_interp=fi)
+                return lambda x: self.implicit_network.apply(
+                    p_impl_ng, x, fast=True, max_level=K,
+                    floor_interp=fi)[..., 0]
+            fns = {}
+            sdf_guidance = {}
+            for key, K in (("march", rt_cfg.prune_levels_march),
+                           ("coarse", rt_cfg.prune_levels_coarse)):
+                if K > 0:
+                    sdf_guidance[key] = fns.setdefault(K, _pruned(K))
+
         rng_trace, rng_eik = jax.random.split(rng)
         trace = ray_trace(
             self.ray_tracer, sdf_fast,
             jax.lax.stop_gradient(cam_loc), object_mask,
             jax.lax.stop_gradient(ray_dirs), rng_trace, training=training,
+            sdf_guidance=sdf_guidance,
         )
         points_tr = jax.lax.stop_gradient(trace.points)
         network_object_mask = trace.network_object_mask

@@ -349,6 +349,22 @@ def _onehot_lookup(spec: HashGridSpec, rows: jnp.ndarray,
     return jnp.einsum("nlr,lrc->nlc", acc, tabs)
 
 
+def level_means(table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Per-level mean feature (L, C) of the packed table.
+
+    Used as the fill value for pruned levels in level-pruned guidance
+    queries (``hash_encode(max_level=...)``): far from the surface the fine
+    levels' hash collisions decorrelate, so their expected contribution is
+    the table mean — a strictly better constant than zero."""
+    sizes = spec.level_sizes()
+    offsets = spec.offsets()
+    means = []
+    for l in range(spec.num_levels):
+        seg = jax.lax.dynamic_slice_in_dim(table, int(offsets[l]), int(sizes[l]))
+        means.append(jnp.mean(seg, axis=0))
+    return jnp.stack(means, axis=0)
+
+
 def hash_encode(
     x: jnp.ndarray,
     table: jnp.ndarray,
@@ -356,6 +372,8 @@ def hash_encode(
     *,
     zero_oob: bool = True,
     inference: bool = False,
+    max_level: Optional[int] = None,
+    fill: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Encode x (N, D) in [0,1] -> (N, L*C).
 
@@ -370,9 +388,41 @@ def hash_encode(
     ``inference=True`` gathers from a bfloat16 page image (fp32 accumulate)
     — for the gradient-stopped tracer; mirrors the reference CUDA forward's
     own half cast (hashgridencoder.py:13-24).  The fp32 default is exact.
+
+    ``max_level=K`` prunes the encode to the K coarsest levels — only their
+    corners are gathered; levels >= K emit a constant ``fill`` feature
+    ((L-K, C), typically :func:`level_means`; zeros when None).  Output
+    shape is unchanged.  This is the level-pruned *guidance* approximation
+    for the gradient-stopped sphere tracer (RayTracerConfig.prune_*); the
+    per-level semantics of the computed levels stay exact (all derived
+    per-level constants depend only on the level index, so truncating
+    ``num_levels`` leaves levels < K untouched).
     """
     N, D = x.shape
     L, C = spec.num_levels, spec.level_dim
+
+    if max_level is not None and max_level < L:
+        K = int(max_level)
+        # freeze the resolved growth factor: scale_factor() derives it from
+        # num_levels when desired_resolution is set, so a naive truncation
+        # would re-spread base->desired over K levels
+        sub = dataclasses.replace(spec, num_levels=K,
+                                  per_level_scale=spec.scale_factor(),
+                                  desired_resolution=None)
+        out_k = hash_encode(
+            x, jax.lax.dynamic_slice_in_dim(table, 0, sub.total_rows()), sub,
+            zero_oob=zero_oob, inference=inference,
+        )  # (N, K*C)
+        if fill is None:
+            fill_v = jnp.zeros((N, (L - K) * C), dtype=out_k.dtype)
+        else:
+            fill_v = jnp.broadcast_to(
+                fill[K:].reshape(1, (L - K) * C).astype(out_k.dtype),
+                (N, (L - K) * C))
+            if zero_oob and spec.variant == "ngp":
+                oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+                fill_v = jnp.where(oob[:, None], 0.0, fill_v)
+        return jnp.concatenate([out_k, fill_v], axis=-1)
     use_onehot = int(spec.level_sizes().max()) <= ONEHOT_MAX_ROWS
     use_pages = not use_onehot and 128 % C == 0
 

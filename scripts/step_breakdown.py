@@ -43,6 +43,14 @@ def main():
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--embed_type", default="StyleModNFFB")
     p.add_argument("--log2", type=int, default=5)
+    p.add_argument("--prune_march", type=int, default=0,
+                   help="level-pruned guidance: K levels for the march")
+    p.add_argument("--prune_coarse", type=int, default=0,
+                   help="level-pruned guidance: K levels for sweep coarse probes")
+    p.add_argument("--prune_secant", type=int, default=0,
+                   help="first m secant iters on the guidance SDF")
+    p.add_argument("--no_prune_floor", action="store_true",
+                   help="disable floor-corner guidance interp")
     p.add_argument("--json", default=None, help="also write the rows here")
     args = p.parse_args()
 
@@ -62,6 +70,14 @@ def main():
     R = args.num_pixels
     conf = flagship_conf(num_pixels=R, small=False, embed_type=args.embed_type)
     conf.put("model.embedding_network.log2_max_hash_size", args.log2)
+    if args.prune_march:
+        conf.put("model.ray_tracer.prune_levels_march", args.prune_march)
+    if args.prune_coarse:
+        conf.put("model.ray_tracer.prune_levels_coarse", args.prune_coarse)
+    if args.prune_secant:
+        conf.put("model.ray_tracer.prune_secant_iters", args.prune_secant)
+    if args.no_prune_floor:
+        conf.put("model.ray_tracer.prune_floor_interp", False)
     model = IDRNetwork(conf.get_config("model"))
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
@@ -121,13 +137,31 @@ def main():
     else:
         sdf_fast = lambda x: model.implicit_network.apply(p_ng, x, fast=True)[..., 0]
 
+    # guidance SDFs (mirrors IDRNetwork.apply)
+    rt_cfg = model.ray_tracer
+    guide = None
+    if ((rt_cfg.prune_levels_march or rt_cfg.prune_levels_coarse)
+            and model.implicit_network.supports_level_pruning()):
+        def _pruned(K):
+            if jax.default_backend() == "tpu":
+                return model.implicit_network.make_fast_sdf(
+                    p_ng, max_level=K, floor_interp=rt_cfg.prune_floor_interp)
+            return lambda x: model.implicit_network.apply(
+                p_ng, x, fast=True, max_level=K,
+                floor_interp=rt_cfg.prune_floor_interp)[..., 0]
+        fns, guide = {}, {}
+        for key, K in (("march", rt_cfg.prune_levels_march),
+                       ("coarse", rt_cfg.prune_levels_coarse)):
+            if K > 0:
+                guide[key] = fns.setdefault(K, _pruned(K))
+
     @jax.jit
     def tracer_only(inputs, rng):
         ray_dirs, cam_loc = get_camera_params(
             inputs["uv"], inputs["pose"], inputs["intrinsics"])
         mask = inputs["object_mask"].reshape(-1).astype(bool)
         tr = ray_trace(model.ray_tracer, sdf_fast, cam_loc, mask, ray_dirs, rng,
-                       training=True)
+                       training=True, sdf_guidance=guide)
         return tr.points
 
     rows.append(("tracer total", timeit(tracer_only, inputs, rng, reps=reps)))

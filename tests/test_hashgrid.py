@@ -221,3 +221,61 @@ def test_inference_bf16_close_to_fp32():
     approx = np.asarray(hg.hash_encode(x, table, spec, inference=True))
     # bf16 has ~8 mantissa bits; interp of U(-1e-4,1e-4) values
     np.testing.assert_allclose(approx, exact, rtol=2e-2, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# level-pruned / floor-corner guidance encode (RayTracerConfig.prune_*)
+# ---------------------------------------------------------------------------
+
+def test_max_level_prunes_and_fills():
+    """max_level=K: levels < K exactly match the full encode; levels >= K
+    carry the per-level table means (level_means)."""
+    spec = make_spec(num_levels=6, desired_resolution=64)
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (23, 3))
+    C = spec.level_dim
+    full = np.asarray(hg.hash_encode(x, table, spec)).reshape(23, 6, C)
+    fill = hg.level_means(table, spec)
+    for K in (2, 4):
+        pr = np.asarray(hg.hash_encode(x, table, spec, max_level=K,
+                                       fill=fill)).reshape(23, 6, C)
+        np.testing.assert_allclose(pr[:, :K], full[:, :K], rtol=1e-6, atol=1e-8)
+        want_fill = np.broadcast_to(np.asarray(fill)[K:][None], (23, 6 - K, C))
+        np.testing.assert_allclose(pr[:, K:], want_fill, rtol=1e-6, atol=1e-8)
+
+
+def test_max_level_zero_fill_and_oob():
+    spec = make_spec(num_levels=5)
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (9, 3))
+    pr = np.asarray(hg.hash_encode(x, table, spec, max_level=3)).reshape(9, 5, 2)
+    assert np.all(pr[:, 3:] == 0.0)
+    fill = hg.level_means(table, spec)
+    xo = x.at[0, 1].set(1.25)
+    pro = np.asarray(hg.hash_encode(xo, table, spec, max_level=3, fill=fill))
+    assert np.all(pro[0] == 0.0), "OOB row must zero computed AND fill levels"
+
+
+def test_max_level_respects_desired_resolution_geometry():
+    """Truncation must keep the full spec's per-level scales (regression:
+    scale_factor() re-derives the growth factor from num_levels when
+    desired_resolution is set)."""
+    spec = make_spec(num_levels=8, desired_resolution=128)
+    table = hg.init_table(jax.random.PRNGKey(2), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (11, 3))
+    full = np.asarray(hg.hash_encode(x, table, spec)).reshape(11, 8, 2)
+    pr = np.asarray(hg.hash_encode(x, table, spec, max_level=5)).reshape(11, 8, 2)
+    np.testing.assert_allclose(pr[:, :5], full[:, :5], rtol=1e-6, atol=1e-8)
+
+
+def test_floor_interp_guidance_matches_oracle():
+    """floor-corner guidance = the same encode with interpolation='floor'
+    (1 gather per level) — pin against the NumPy oracle."""
+    import dataclasses
+    spec = make_spec(num_levels=4)
+    fspec = dataclasses.replace(spec, interpolation="floor")
+    table = hg.init_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (19, 3))
+    got = np.asarray(hg.hash_encode(x, table, fspec))
+    want = hg.hash_encode_numpy(np.asarray(x), np.asarray(table), fspec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

@@ -153,3 +153,93 @@ def test_table_grads_are_model_sharded(setup):
         + str([(k, g.sharding.spec) for k, g in tables]))
     for k, g in sharded:
         assert np.isfinite(np.asarray(g)).all(), k
+
+
+# ---------------------------------------------------------------------------
+# production shapes: ngp log2=15 page-packed tables, REAL row sharding
+# (no min_table_rows crutch), level-pruned tracer guidance on
+# (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+NGP_PIXELS = 32
+
+
+@pytest.fixture(scope="module")
+def setup_ngp():
+    conf = flagship_conf(num_pixels=NGP_PIXELS, small=False,
+                         embed_type="HashGridTcnn")
+    conf.put("model.embedding_network.log2_max_hash_size", 15)
+    conf.put("model.ray_tracer.prune_levels_march", 16)
+    conf.put("model.ray_tracer.prune_levels_coarse", 16)
+    conf.put("model.ray_tracer.prune_secant_iters", 4)
+    model = IDRNetwork(conf.get_config("model"))
+    params = model.init(jax.random.PRNGKey(0))
+    loss_cfg = IDRLossConfig(eikonal_weight=0.1, mask_weight=200.0, alpha=50.0)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    scene_np = synthetic_scene(n_views=1, img_res=(8, 8))
+    return model, params, loss_cfg, optimizer, scene_np
+
+
+def _run_step_n(model, params, loss_cfg, optimizer, scene_np, mesh, n_pixels):
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    opt_state = optimizer.init(params)
+    if mesh is None:
+        state = {"params": params, "opt_state": opt_state}
+        scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+        pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
+    else:
+        # DEFAULT min_table_rows: the 2^15-row page-packed tables must shard
+        # for real (the small-table crutch min_table_rows=8 is the thing this
+        # test exists to avoid)
+        p_shard = param_sharding(params, mesh)
+        specs = [s.spec for s in jax.tree_util.tree_leaves(p_shard)]
+        assert any(s == P("model", None) for s in specs), \
+            "ngp tables did not engage row sharding at default min_table_rows"
+        state = {
+            "params": jax.device_put(params, p_shard),
+            "opt_state": jax.device_put(opt_state, replicated(mesh)),
+        }
+        scene = {k: jax.device_put(jnp.asarray(v), replicated(mesh))
+                 for k, v in scene_np.items()}
+        pixel_idx = jax.device_put(
+            jnp.arange(n_pixels, dtype=jnp.int32), ray_sharding(mesh))
+    img_idx = (jnp.asarray([0], dtype=jnp.int32) if mesh is None else
+               jax.device_put(jnp.asarray([0], dtype=jnp.int32), replicated(mesh)))
+    step = build_train_step(model, loss_cfg, optimizer, mesh=mesh)
+    alpha = jnp.asarray(50.0, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(2)
+    if mesh is not None:
+        with mesh:
+            new_state, losses = step(state, scene, img_idx, pixel_idx, rng, alpha)
+    else:
+        new_state, losses = step(state, scene, img_idx, pixel_idx, rng, alpha)
+    jax.block_until_ready(new_state["params"])
+    return new_state, {k: float(v) for k, v in losses.items()}
+
+
+def test_ngp15_page_tables_shard_and_match_single_device(setup_ngp):
+    """Full production preset (2^15-row page-packed tables, pruned guidance)
+    on a 4x2 mesh with genuine P('model') row sharding == 1-device step."""
+    model, params, loss_cfg, optimizer, scene_np = setup_ngp
+    assert len(jax.devices()) >= 8
+
+    state1, losses1 = _run_step_n(model, params, loss_cfg, optimizer,
+                                  scene_np, None, NGP_PIXELS)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state8, losses8 = _run_step_n(model, params, loss_cfg, optimizer,
+                                  scene_np, mesh, NGP_PIXELS)
+
+    for k in losses1:
+        assert np.isfinite(losses1[k]), k
+        np.testing.assert_allclose(losses8[k], losses1[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=f"loss '{k}' diverges across meshes")
+
+    # spot-check the table params (the sharded leaves) and a couple MLP leaves
+    t1 = _table_leaves(state1["params"]) 
+    t8 = _table_leaves(state8["params"]) 
+    assert t1 and len(t1) == len(t8)
+    for (k1, x1), (k8, x8) in zip(t1, t8):
+        assert k1 == k8
+        np.testing.assert_allclose(np.asarray(x8), np.asarray(x1),
+                                   rtol=5e-4, atol=2e-6,
+                                   err_msg=f"table {k1} diverges across meshes")
