@@ -113,8 +113,9 @@ def ray_trace(
     B, P, _ = ray_directions.shape
     R = B * P
     guide = sdf_guidance or {}
-    sdf_march = guide.get("march") if cfg.prune_levels_march > 0 else None
-    sdf_coarse = guide.get("coarse") if cfg.prune_levels_coarse > 0 else None
+    sdf_march = guide.get("march")
+    sdf_coarse = guide.get("coarse")
+    sdf_secant = guide.get("secant") if cfg.prune_secant_iters > 0 else None
 
     sphere_int, mask_intersect = get_sphere_intersection(
         cam_loc, ray_directions, r=cfg.object_bounding_sphere
@@ -168,8 +169,7 @@ def ray_trace(
     sampler_pts, sampler_net_obj_mask, sampler_dists = _ray_sampler(
         cfg, sdf, cam_flat, dirs_flat, object_mask,
         idx_grid, points, pts_intervals, sdf_val, sampler_mask, training,
-        sdf_guide=(sdf_coarse if cfg.prune_secant_iters > 0 else None),
-        exact_mask=exact_mask,
+        sdf_guide=sdf_secant, exact_mask=exact_mask,
     )
     curr_start_points = jnp.where(sampler_mask[:, None], sampler_pts, curr_start_points)
     acc_start_dis = jnp.where(sampler_mask, sampler_dists, acc_start_dis)

@@ -45,10 +45,21 @@ class IDRNetwork:
         rt = conf.get_config("ray_tracer").data
         self.ray_tracer = RayTracerConfig(**rt)
         self.object_bounding_sphere = conf.get_float("ray_tracer.object_bounding_sphere")
-        # bf16 MXU fast path for the gradient-stopped tracer SDF evals
-        # (precedent: the reference CUDA encoder forward runs fp16,
-        # hashgridencoder.py:13).  Set model.tracer_fast = False for full-f32.
-        self.tracer_fast = bool(conf.get("tracer_fast", True))
+        # Tracer SDF precision (model.tracer_fast):
+        #   'mixed' (default) — guidance queries (march, sweep coarse probes,
+        #       first secant iters) run the bf16 MXU fast path; decision
+        #       queries (sweep fine probes + refined-interval endpoints,
+        #       final secant iters, march polish) run exact f32.  Matches the
+        #       reference's own precision split: its CUDA encoder casts to
+        #       half (hashgridencoder.py:13) but the torch SDF MLP and all
+        #       tracer logic run fp32.  Measured on the 400-epoch headtohead
+        #       anchor, an all-bf16 tracer costs ~3-5 dB PSNR (RESULTS.md r4).
+        #   True/'fast' — everything bf16 (throughput measurements only).
+        #   False/'exact' — everything f32.
+        tf = conf.get("tracer_fast", "mixed")
+        self.tracer_mode = {True: "fast", False: "exact"}.get(tf, tf)
+        assert self.tracer_mode in ("fast", "mixed", "exact"), tf
+        self.tracer_fast = self.tracer_mode != "exact"
 
     # -- params -----------------------------------------------------------
     def init(self, key) -> Dict[str, Any]:
@@ -78,40 +89,50 @@ class IDRNetwork:
         p_impl = params["implicit_network"]
         p_impl_ng = jax.lax.stop_gradient(p_impl)
         on_tpu = jax.default_backend() == "tpu"
-        if self.tracer_fast:
+        rt_cfg = self.ray_tracer
+
+        def _fast(max_level=None, floor=False):
             # Pallas fused-MLP kernel on TPU; interpret mode elsewhere is
             # slower than the jnp path, so fall back to bf16 jnp off-TPU.
             if on_tpu:
-                sdf_fast = self.implicit_network.make_fast_sdf(p_impl_ng)
-            else:
-                sdf_fast = lambda x: self.implicit_network.apply(
-                    p_impl_ng, x, fast=True)[..., 0]
-        else:
-            sdf_fast = lambda x: self.implicit_network.sdf(p_impl_ng, x)
+                return self.implicit_network.make_fast_sdf(
+                    p_impl_ng, max_level=max_level, floor_interp=floor)
+            return lambda x: self.implicit_network.apply(
+                p_impl_ng, x, fast=True, max_level=max_level,
+                floor_interp=floor)[..., 0]
 
-        # level-pruned guidance SDFs for the tracer's march / coarse-probe
-        # queries (RayTracerConfig.prune_*; only large-table hash-grid
-        # embedders support pruning — others trace exactly)
-        sdf_guidance = None
-        rt_cfg = self.ray_tracer
-        if (self.tracer_fast
-                and (rt_cfg.prune_levels_march > 0 or rt_cfg.prune_levels_coarse > 0)
-                and self.implicit_network.supports_level_pruning()):
-            fi = rt_cfg.prune_floor_interp
+        def _exact(x):
+            return self.implicit_network.sdf(p_impl_ng, x)
 
-            def _pruned(K):
-                if on_tpu:
-                    return self.implicit_network.make_fast_sdf(
-                        p_impl_ng, max_level=K, floor_interp=fi)
-                return lambda x: self.implicit_network.apply(
-                    p_impl_ng, x, fast=True, max_level=K,
-                    floor_interp=fi)[..., 0]
-            fns = {}
-            sdf_guidance = {}
-            for key, K in (("march", rt_cfg.prune_levels_march),
-                           ("coarse", rt_cfg.prune_levels_coarse)):
-                if K > 0:
-                    sdf_guidance[key] = fns.setdefault(K, _pruned(K))
+        def _build_guidance(base=None):
+            """march/coarse guidance: hash-level-pruned fast SDFs per the
+            prune_* conf when the embedder supports it, else ``base``."""
+            prune = (rt_cfg.prune_levels_march > 0
+                     or rt_cfg.prune_levels_coarse > 0)
+            fns, guide = {}, {}
+            if prune and self.implicit_network.supports_level_pruning():
+                fi = rt_cfg.prune_floor_interp
+                for key, K in (("march", rt_cfg.prune_levels_march),
+                               ("coarse", rt_cfg.prune_levels_coarse)):
+                    if K > 0:
+                        guide[key] = fns.setdefault(K, _fast(K, fi))
+                    elif base is not None:
+                        guide[key] = base
+            elif base is not None:
+                guide = {"march": base, "coarse": base}
+            if guide and rt_cfg.prune_secant_iters > 0:
+                guide["secant"] = guide.get("coarse") or guide.get("march")
+            return guide or None
+
+        if self.tracer_mode == "exact":
+            sdf_fast = _exact
+            sdf_guidance = None
+        elif self.tracer_mode == "fast":
+            sdf_fast = _fast()
+            sdf_guidance = _build_guidance()
+        else:  # mixed: bf16 guidance, f32 decisions
+            sdf_fast = _exact
+            sdf_guidance = _build_guidance(base=_fast())
 
         rng_trace, rng_eik = jax.random.split(rng)
         trace = ray_trace(

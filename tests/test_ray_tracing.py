@@ -114,16 +114,40 @@ def test_guided_trace_exact_surface_despite_biased_guidance():
     assert solid.sum() >= 20  # the tight check must cover real rays
 
 
-def test_guided_trace_defaults_off_identical():
-    """With prune_* at defaults the guidance dict must be inert."""
+def test_guided_trace_none_guidance_identical():
+    """Empty / None-entry guidance dicts must be inert (exact path).  A
+    present 'secant' entry is also inert while prune_secant_iters == 0."""
     sdf = lambda x: jnp.linalg.norm(x, axis=-1) - 0.5
     cfg = RayTracerConfig(sphere_tracing_iters=10, n_steps=100, n_secant_steps=8)
     cam, dirs = make_rays(32)
     obj_mask = jnp.ones(32, dtype=bool)
     a = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
                   training=True)
-    b = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
-                  training=True,
-                  sdf_guidance={"march": lambda x: 0 * sdf(x), "coarse": None})
-    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
-    np.testing.assert_array_equal(np.asarray(a.dists), np.asarray(b.dists))
+    for guide in (None, {}, {"march": None, "coarse": None},
+                  {"secant": lambda x: 0 * sdf(x)}):
+        b = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
+                      training=True, sdf_guidance=guide)
+        np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+        np.testing.assert_array_equal(np.asarray(a.dists), np.asarray(b.dists))
+
+
+def test_guided_trace_same_sdf_guidance_matches_exact():
+    """Guidance == the exact SDF (the 'mixed' wiring with a perfect guide)
+    must find the same surface within tracer tolerance."""
+    r_obj = 0.5
+    sdf = lambda x: jnp.linalg.norm(x, axis=-1) - r_obj
+    cfg = RayTracerConfig(sphere_tracing_iters=10, n_steps=100,
+                          n_secant_steps=8, line_step_iters=3,
+                          prune_secant_iters=4)
+    cam, dirs = make_rays(48)
+    obj_mask = jnp.ones(48, dtype=bool)
+    res = ray_trace(cfg, sdf, cam, obj_mask, dirs, jax.random.PRNGKey(0),
+                    training=False,
+                    sdf_guidance={"march": sdf, "coarse": sdf, "secant": sdf})
+    d = np.asarray(dirs[0]); c = np.asarray(cam[0])
+    b = d @ c
+    disc = b**2 - (c @ c - r_obj**2)
+    solid = disc > 0.03
+    t_hit = -b - np.sqrt(np.maximum(disc, 0))
+    np.testing.assert_allclose(np.asarray(res.dists)[solid], t_hit[solid],
+                               rtol=1e-3, atol=2e-3)
