@@ -102,9 +102,20 @@ def main(argv=None):
         pred_R = np.asarray(quat_to_rot(jnp.asarray(pose_vecs[:, :4])))
         res = camera_alignment(pred_R, gt_pose[:, :3, :3],
                                pose_vecs[:, 4:], gt_pose[:, :3, 3])
-        print(f"camera accuracy: rot mean {res['rot_err_mean']:.3f}deg "
-              f"median {res['rot_err_median']:.3f}deg; "
-              f"t mean {res['t_err_mean']:.4f} median {res['t_err_median']:.4f}")
+        line = (f"camera accuracy: rot mean {res['rot_err_mean']:.3f}deg "
+                f"median {res['rot_err_median']:.3f}deg; "
+                f"t mean {res['t_err_mean']:.4f} median {res['t_err_median']:.4f}")
+        print(line)
+        # persist the alignment report next to the other eval artifacts
+        # (reference protocol: eval.py:208-251 prints + the numbers end up in
+        # the paper tables; we keep a machine-readable copy)
+        with open(os.path.join(eval_dir, "camera_accuracy.txt"), "w") as f:
+            f.write(line + "\n")
+        import json as _json
+
+        with open(os.path.join(eval_dir, "camera_accuracy.json"), "w") as f:
+            _json.dump({k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                        for k, v in res.items()}, f, indent=1)
 
     if args.eval_rendering:
         metrics = ev.eval_rendering(eval_dir, views=args.views)
