@@ -71,7 +71,7 @@ model{{
         sphere_tracing_iters = 10
         n_steps = 100
         n_secant_steps = 8
-    }}
+{tracer_extra}    }}
 {embedding}}}
 """
 
@@ -108,6 +108,14 @@ def render(expname, embed_type, viewdirs, log2, base_res, bound, mask_weight,
            cam_file=None):
     emb = EMBED_TEMPLATE.format(embed_type=embed_type, log2=log2,
                                 base_res=base_res, bound=bound)
+    # large-table presets get level-pruned/floor-corner tracer guidance
+    # (RESULTS.md r4: 1.5x step at no quality cost); small-table encoders
+    # trace with the plain mixed-precision default
+    tracer_extra = ""
+    if log2 >= 15 and embed_type in ("HashGridCUDA", "HashGridTcnn", "FFBTcnn"):
+        tracer_extra = ("        prune_levels_march = 16\n"
+                        "        prune_levels_coarse = 16\n"
+                        "        prune_secant_iters = 4\n")
     return TEMPLATE.format(
         expname=expname,
         lr_cam="    learning_rate_cam = 1.0e-4\n" if trained else "",
@@ -116,6 +124,7 @@ def render(expname, embed_type, viewdirs, log2, base_res, bound, mask_weight,
         cam_file=f"    cam_file = {cam_file}\n" if cam_file else "",
         fvs=fvs, multires=multires, mode=mode, rend_d_in=rend_d_in,
         viewdirs=viewdirs, multires_view=multires_view, embedding=emb,
+        tracer_extra=tracer_extra,
     )
 
 

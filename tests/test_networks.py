@@ -95,3 +95,33 @@ def test_rendering_network_deep_viewdir_embedders():
             jnp.full((4, 3), 0.5), jnp.zeros((4, 8)),
         )
         assert rgb.shape == (4, 3), vtype
+
+
+def test_renderer_tracer_modes_smoke():
+    """model.tracer_fast in {'fast','mixed','exact',True,False} must all build
+    and run a training forward; True/False alias fast/exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from hashmodnffbanks_idr_tpu.models.renderer import IDRNetwork
+    from hashmodnffbanks_idr_tpu.testing import flagship_conf, synthetic_scene
+
+    scene = {k: jnp.asarray(v)
+             for k, v in synthetic_scene(n_views=1, img_res=(16, 24), seed=0).items()}
+    pix = jnp.arange(32)
+    inputs = {"intrinsics": scene["intrinsics"][0:1], "uv": scene["uv"][pix][None],
+              "pose": scene["pose"][0:1], "object_mask": scene["mask"][0][pix][None]}
+    rng = jax.random.PRNGKey(2)
+    params = None
+    for mode, want in (("fast", "fast"), ("mixed", "mixed"), ("exact", "exact"),
+                       (True, "fast"), (False, "exact")):
+        conf = flagship_conf(num_pixels=32, small=True)
+        conf.put("model.tracer_fast", mode)
+        m = IDRNetwork(conf.get_config("model"))
+        assert m.tracer_mode == want
+        if params is None:
+            params = m.init(jax.random.PRNGKey(0))
+        out = jax.jit(lambda p, i, r: m.apply(p, i, r, training=True))(
+            params, inputs, rng)
+        assert jnp.isfinite(out["rgb_values"]).all()
+        assert jnp.isfinite(out["grad_theta"]).all()
