@@ -121,6 +121,18 @@ def main(argv=None):
         metrics = ev.eval_rendering(eval_dir, views=args.views)
         print(f"rendering: PSNR {metrics['psnr_mean']:.2f} "
               f"SSIM {metrics['ssim_mean']:.4f} LPIPS {metrics['lpips_mean']:.4f}")
+        # machine-readable roll-up matching the head-to-head harness
+        # (scripts/reference_headtohead.py writes the same file)
+        import json as _json
+
+        from ..models.lpips import weights_source
+
+        summary = {k: v for k, v in metrics.items()
+                   if isinstance(v, (int, float, str, list))}
+        summary.update({"epoch": epoch, "lpips_weights": weights_source(),
+                        "views": args.views or "all"})
+        with open(os.path.join(eval_dir, "metrics", "summary.json"), "w") as f:
+            _json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
