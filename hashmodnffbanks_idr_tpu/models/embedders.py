@@ -50,6 +50,12 @@ class Embedder:
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
 
+    def tv_loss(self, params, x: jnp.ndarray):
+        """Grid total-variation regularizer at sampled points, or None when
+        the embedder has no grid (torch-ngp grad_total_variation parity,
+        gridencoder_torchngp/grid.py:173-196)."""
+        return None
+
 
 # ---------------------------------------------------------------------------
 # Frequency encoders
@@ -165,6 +171,9 @@ class HashGridTorchEmbedder(Embedder):
             return jnp.concatenate([self.ff.apply(params["ff"], x), grid], axis=-1)
         return grid
 
+    def tv_loss(self, params, x):
+        return hg.total_variation_loss(x, params["table"], self.spec)
+
 
 class HashGridNGPEmbedder(Embedder):
     """instant-ngp-semantics grid, backing both 'HashGridTcnn'
@@ -241,6 +250,11 @@ class HashGridNGPEmbedder(Embedder):
     def level_fill(self, params):
         """Per-level mean features (L, C) for pruned-level fill."""
         return hg.level_means(params["table"], self.spec)
+
+    def tv_loss(self, params, x):
+        if self.input_range == "unit":
+            x = jnp.clip((x + self.size) / (2 * self.size), 0.0, 1.0)
+        return hg.total_variation_loss(x, params["table"], self.spec)
 
 
 # ---------------------------------------------------------------------------
@@ -480,6 +494,10 @@ class NFFBEmbedder(Embedder):
         emb = jnp.where(id_m, pre,
                         jnp.sin(pre + jnp.asarray(phase, dtype=pre.dtype)))
         return emb
+
+    def tv_loss(self, params, inp):
+        input01 = (inp + self.bound) / (2 * self.bound)  # nffb3d.py:132
+        return self.grid.tv_loss(params["grid"], input01)
 
     def apply(self, params, inp, fast: bool = False):
         cdt = jnp.bfloat16 if fast else None  # tracer-only mixed precision

@@ -18,6 +18,10 @@ class IDRLossConfig(NamedTuple):
     eikonal_weight: float = 0.1
     mask_weight: float = 100.0
     alpha: float = 50.0   # initial value; annealed copy is passed at call time
+    # grid total-variation weight (torch-ngp grad_total_variation slot,
+    # gridencoder_torchngp/grid.py:173-196); 0 disables.  Applied by the
+    # trainer at the traced surface points (trainer.build_train_step).
+    tv_weight: float = 0.0
 
 
 def rgb_loss(rgb_values, rgb_gt, mask, n_pixels):

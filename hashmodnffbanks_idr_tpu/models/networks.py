@@ -220,6 +220,14 @@ class ImplicitNetwork:
     def sdf(self, params, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, x)[..., 0]
 
+    def tv_loss(self, params, x: jnp.ndarray):
+        """Grid total-variation loss at sampled points, None when the embedder
+        has no grid (the torch-ngp grad_total_variation slot,
+        gridencoder_torchngp/grid.py:173-196)."""
+        if self.embedder is None:
+            return None
+        return self.embedder.tv_loss(params.get("embed", {}), x)
+
     def supports_level_pruning(self) -> bool:
         """True when the embedder can serve level-pruned guidance queries."""
         return (self.embedder is not None

@@ -147,7 +147,13 @@ def ray_trace(
     t0 = jnp.where(sampler_mask, acc_start_dis, min_dis_eff)
     t1 = jnp.where(sampler_mask, acc_end_dis, max_dis)
 
-    stride = (_sweep_stride(n, pruned_coarse=sdf_coarse is not None)
+    # The cheap-coarse stride model only pays off when coarse probes are
+    # genuinely level-pruned (floor-corner/K-level gathers).  In 'mixed'
+    # tracer mode sdf_coarse is a bf16-but-full-accuracy guide whose cost is
+    # close to the exact SDF's, and the small-stride flip would ~triple the
+    # coarse probe count for nothing (ADVICE r4).
+    pruned_coarse = sdf_coarse is not None and cfg.prune_levels_coarse > 0
+    stride = (_sweep_stride(n, pruned_coarse=pruned_coarse)
               if cfg.hierarchical_sweep else None)
     if stride is None:
         # dense sweep — every grid point evaluated (reference ray_tracing.py:
@@ -412,6 +418,12 @@ def _hierarchical_sweep(cfg, sdf, cam, dirs, sampler_mask, t0, t1, rng, stride,
         v_ends = v_fused[R * n_f:].reshape(R, 5)
         rows = jnp.arange(R)[:, None]
         v_c = v_c.at[rows, slots_e].set(v_ends)
+        # Sign-decision mask: every exact-valued entry may win the first-neg
+        # race.  A winner at k_flip-1 / m_slot-1 can have an UNevaluated
+        # dense-grid predecessor (its interval was never refined); the
+        # sampler's extract() handles that by bracketing against the nearest
+        # evaluated predecessor instead of a degenerate index-0 fallback
+        # (ADVICE r4).
         exact_c = jnp.zeros((R, n_c), dtype=bool).at[rows, slots_e].set(True)
         exact_mask = jnp.concatenate(
             [exact_c, jnp.ones((R, n_f), dtype=bool)], axis=1)
@@ -450,8 +462,15 @@ def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
     ind = jnp.where(net_surface_pts, gneg, n - 1)
 
     def extract(g):
-        """Value/t/point at grid index g (must be among the evaluated)."""
-        j = jnp.argmax(idx_grid == g[:, None], axis=-1)              # (R,)
+        """Value/t/point at the LARGEST evaluated grid index <= g.
+
+        Exact match whenever g itself was evaluated (always true for `ind`).
+        In guided mode the secant's `prev` can land in an unrefined interval
+        whose point was never evaluated; falling back to the nearest
+        evaluated predecessor keeps the bracket tight instead of degenerating
+        to the row's first entry (ADVICE r4)."""
+        cand = jnp.where(idx_grid <= g[:, None], idx_grid, jnp.int32(-1))
+        j = jnp.argmax(cand, axis=-1)                                # (R,)
         take = lambda a: jnp.take_along_axis(a, j[:, None], axis=1)[:, 0]
         return take(sdf_val), take(pts_intervals), \
             jnp.take_along_axis(points, j[:, None, None], axis=1)[:, 0]
@@ -471,10 +490,10 @@ def _ray_sampler(cfg, sdf, cam, dirs, object_mask, idx_grid, points,
     sampler_net_obj_mask = sampler_mask & net_surface_pts
 
     # secant (ray_tracing.py:232-247); torch's ind-1 indexing wraps at 0.
-    # The grid predecessor of the first-negative index is always evaluated:
-    # dense trivially; hierarchical because the first negative lies in (or on
-    # the right edge of) a refined interval whose interior+endpoints are all
-    # evaluated, and ind=0 wraps to n-1 (a coarse probe).
+    # The bracket's low side is the nearest EVALUATED grid point at or below
+    # ind-1 (extract's predecessor semantics): the exact predecessor when ind
+    # lies in a refined interval / dense mode, the refined-interval edge or a
+    # coarse probe otherwise; ind=0 wraps to n-1 (a coarse probe).
     secant_pts = (net_surface_pts & true_surface_pts) if training else net_surface_pts
     secant_pts = secant_pts & sampler_mask
     prev = (ind - 1) % n
@@ -524,7 +543,31 @@ def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active,
     carry = (z_low, sdf_low, z_high, sdf_high, z_pred)
     m = min(cfg.prune_secant_iters, cfg.n_secant_steps) if sdf_guide else 0
     if m > 0:
+        z_low0, sdf_low0, z_high0, sdf_high0 = z_low, sdf_low, z_high, sdf_high
         carry = jax.lax.fori_loop(0, m, make_body(sdf_guide), carry)
+        # Re-validate the guided bracket with ONE fused exact call before the
+        # exact phase: a wrong-sign guidance value can move an endpoint past
+        # the true root, and the exact iterations can only narrow, never
+        # re-expand (ADVICE r4).  Each side keeps its guided position only if
+        # the exact SDF confirms its sign invariant (low > 0, high < 0);
+        # otherwise it reverts to the pre-guide exact-valued endpoint — the
+        # resulting bracket is always exact-valued and contains the crossing
+        # the pre-guide bracket did.
+        z_low, sdf_low, z_high, sdf_high, z_pred = carry
+        p2 = jnp.concatenate(
+            [cam + z_low[:, None] * dirs, cam + z_high[:, None] * dirs], axis=0)
+        act2 = jnp.concatenate([active, active], axis=0)
+        v2 = jnp.where(act2, sdf(p2), 0.0)
+        Rn = z_low.shape[0]
+        v_lo, v_hi = v2[:Rn], v2[Rn:]
+        ok_lo = v_lo > 0
+        z_low = jnp.where(ok_lo, z_low, z_low0)
+        sdf_low = jnp.where(ok_lo, v_lo, sdf_low0)
+        ok_hi = v_hi < 0
+        z_high = jnp.where(ok_hi, z_high, z_high0)
+        sdf_high = jnp.where(ok_hi, v_hi, sdf_high0)
+        z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+        carry = (z_low, sdf_low, z_high, sdf_high, z_pred)
     carry = jax.lax.fori_loop(m, cfg.n_secant_steps, make_body(sdf), carry)
     return carry[-1]
 

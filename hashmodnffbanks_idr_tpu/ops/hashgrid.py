@@ -134,6 +134,23 @@ class HashGridSpec:
     def total_rows(self) -> int:
         return int(self.offsets()[-1])
 
+    def padded_total_rows(self) -> int:
+        """total_rows rounded up so rows*level_dim is a multiple of 128.
+
+        Tables allocated at this size make :func:`pack_pages` a pure reshape
+        (bitcast).  With the semantic size (per-level offsets rounded to 8,
+        hashgridencoder.py:100-110) the pad concatenate inside pack_pages
+        copies the whole table every step — measured 10 ms for the log2=19
+        preset on TPU v5e, the single largest train-step fixed cost
+        (scripts/scatter_bench.py).  The dead tail rows are never indexed
+        (all lookups are bounded by the per-level offsets) and receive zero
+        gradients."""
+        n = self.total_rows()
+        if 128 % self.level_dim != 0:
+            return n
+        rows_per_page = 128 // self.level_dim
+        return int(-(-n // rows_per_page) * rows_per_page)
+
     def output_dim(self) -> int:
         return self.num_levels * self.level_dim
 
@@ -151,11 +168,57 @@ class HashGridSpec:
 
 
 def init_table(key, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
-    """U(-std, std) init (hashgridencoder.py:119-121, hashGridEmbedding.py:69-71)."""
+    """U(-std, std) init (hashgridencoder.py:119-121, hashGridEmbedding.py:69-71).
+
+    Large-table (page-path) specs are allocated directly as the (P, 128)
+    page image — the canonical parameter layout on TPU.  Measured on v5e
+    (scripts/scatter_bench.py + layout probes): materializing the
+    (rows, C) -> (P, 128) repack is a ~9 ms physical relayout for the
+    log2=19 preset, and it ran EVERY train step when the narrow table was
+    the parameter; a gather from a pre-packed page image costs 2.1 ms.
+    Storing pages makes the repack disappear; the optimizer update is
+    elementwise and layout-agnostic.  Small-table (one-hot MXU) specs keep
+    the narrow (rows, C) layout.  All consumers accept either layout
+    (:func:`as_pages` / :func:`as_rows`), so legacy narrow checkpoints and
+    torch imports still load."""
+    if spec_uses_pages(spec):
+        n_pages = spec.padded_total_rows() * spec.level_dim // 128
+        n_pages = -(-n_pages // 8) * 8  # P('model') row sharding divisibility
+        return jax.random.uniform(
+            key, (n_pages, 128), dtype=dtype,
+            minval=-spec.init_std, maxval=spec.init_std,
+        )
     return jax.random.uniform(
-        key, (spec.total_rows(), spec.level_dim), dtype=dtype,
+        key, (spec.padded_total_rows(), spec.level_dim), dtype=dtype,
         minval=-spec.init_std, maxval=spec.init_std,
     )
+
+
+def spec_uses_pages(spec: HashGridSpec) -> bool:
+    """True when :func:`hash_encode` serves this spec from the page image."""
+    return (int(spec.level_sizes().max()) > ONEHOT_MAX_ROWS
+            and 128 % spec.level_dim == 0 and spec.level_dim != 128)
+
+
+def table_is_pages(table: jnp.ndarray, spec: HashGridSpec) -> bool:
+    """Whether a stored table param is a (P, 128) page image (vs (rows, C))."""
+    return table.ndim == 2 and table.shape[1] == 128 and spec.level_dim != 128
+
+
+def as_pages(table: jnp.ndarray, spec: HashGridSpec, dtype=None) -> jnp.ndarray:
+    """Either layout -> (P, 128) page image (cast only when already pages)."""
+    if table_is_pages(table, spec):
+        return table if dtype is None or table.dtype == dtype else table.astype(dtype)
+    return pack_pages(table, dtype)
+
+
+def as_rows(table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Either layout -> narrow (rows, C) view (a relayout when stored as
+    pages — use only on small-table or cold paths)."""
+    if table_is_pages(table, spec):
+        C = spec.level_dim
+        return table.reshape(-1)[: spec.total_rows() * C].reshape(-1, C)
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +421,17 @@ def level_means(table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
     the table mean — a strictly better constant than zero."""
     sizes = spec.level_sizes()
     offsets = spec.offsets()
+    C = spec.level_dim
+    if table_is_pages(table, spec):
+        # per-level reductions over the flat element view; the reshape fuses
+        # into the mean (no materialized relayout)
+        flat = table.reshape(-1)
+        means = []
+        for l in range(spec.num_levels):
+            seg = jax.lax.dynamic_slice_in_dim(
+                flat, int(offsets[l]) * C, int(sizes[l]) * C).reshape(-1, C)
+            means.append(jnp.mean(seg, axis=0))
+        return jnp.stack(means, axis=0)
     means = []
     for l in range(spec.num_levels):
         seg = jax.lax.dynamic_slice_in_dim(table, int(offsets[l]), int(sizes[l]))
@@ -409,9 +483,17 @@ def hash_encode(
         sub = dataclasses.replace(spec, num_levels=K,
                                   per_level_scale=spec.scale_factor(),
                                   desired_resolution=None)
+        # slice to the padded size when the full table allows it (the extra
+        # rows belong to level K and are never indexed by the K-level
+        # sub-spec); page images slice whole page rows
+        if table_is_pages(table, spec):
+            n_pg = min(sub.padded_total_rows() * C // 128, table.shape[0])
+            sub_table = jax.lax.dynamic_slice_in_dim(table, 0, n_pg)
+        else:
+            n_sub = min(sub.padded_total_rows(), table.shape[0])
+            sub_table = jax.lax.dynamic_slice_in_dim(table, 0, n_sub)
         out_k = hash_encode(
-            x, jax.lax.dynamic_slice_in_dim(table, 0, sub.total_rows()), sub,
-            zero_oob=zero_oob, inference=inference,
+            x, sub_table, sub, zero_oob=zero_oob, inference=inference,
         )  # (N, K*C)
         if fill is None:
             fill_v = jnp.zeros((N, (L - K) * C), dtype=out_k.dtype)
@@ -425,6 +507,7 @@ def hash_encode(
         return jnp.concatenate([out_k, fill_v], axis=-1)
     use_onehot = int(spec.level_sizes().max()) <= ONEHOT_MAX_ROWS
     use_pages = not use_onehot and 128 % C == 0
+    val_dtype = jnp.bfloat16 if table.dtype == jnp.bfloat16 else jnp.float32
 
     floor, frac = _positions(spec, x)
     if spec.interpolation == "floor":
@@ -432,12 +515,12 @@ def hash_encode(
         # contributes (weight 1) — 1 corner instead of 2^D.
         rows = _level_indices(spec, floor[:, :, None, :])  # (N,L,1)
         if use_onehot:
-            out = _onehot_lookup(spec, rows, None, table)
+            out = _onehot_lookup(spec, rows, None, as_rows(table, spec))
         elif use_pages:
-            pages = pack_pages(table, jnp.bfloat16 if inference else None)
-            out = _page_lookup(pages, rows[..., 0], C, jnp.float32)
+            pages = as_pages(table, spec, jnp.bfloat16 if inference else None)
+            out = _page_lookup(pages, rows[..., 0], C, val_dtype)
         else:
-            out = jnp.take(table, rows[..., 0], axis=0)  # (N,L,C)
+            out = jnp.take(as_rows(table, spec), rows[..., 0], axis=0)  # (N,L,C)
     else:
         bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)  # (2^D, D)
         corners = floor[:, :, None, :] + bits[None, None, :, :]  # (N,L,2^D,D)
@@ -445,18 +528,19 @@ def hash_encode(
         w = _interp_weights(spec, frac)  # (N,L,2^D)
 
         if use_onehot:
-            out = _onehot_lookup(spec, rows, w.astype(table.dtype), table)
+            narrow = as_rows(table, spec)
+            out = _onehot_lookup(spec, rows, w.astype(narrow.dtype), narrow)
         elif use_pages:
-            pages = pack_pages(table, jnp.bfloat16 if inference else None)
-            w32 = w.astype(jnp.float32)
-            out = jnp.zeros((N, L, C), dtype=jnp.float32)
+            pages = as_pages(table, spec, jnp.bfloat16 if inference else None)
+            w32 = w.astype(val_dtype)
+            out = jnp.zeros((N, L, C), dtype=val_dtype)
             for k in range(1 << D):  # corner-major: no (N,L,2^D,C) tensor
-                v = _page_lookup(pages, rows[:, :, k], C, jnp.float32)
+                v = _page_lookup(pages, rows[:, :, k], C, val_dtype)
                 out = out + v * w32[:, :, k, None]
-            out = out.astype(table.dtype)
         else:
-            w = w.astype(table.dtype)
-            vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+            narrow = as_rows(table, spec)
+            w = w.astype(narrow.dtype)
+            vals = jnp.take(narrow, rows, axis=0)  # (N,L,2^D,C)
             out = jnp.sum(vals * w[..., None], axis=2)  # (N,L,C)
 
     if zero_oob and spec.variant == "ngp":
@@ -484,7 +568,10 @@ def total_variation_loss(
     bits = jnp.asarray(_corner_bits(D), dtype=jnp.int32)
     corners = floor[:, :, None, :] + bits[None, None, :, :]
     rows = _level_indices(spec, corners)  # (N,L,2^D)
-    vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
+    if table_is_pages(table, spec):
+        vals = _page_lookup(table, rows, spec.level_dim, jnp.float32)
+    else:
+        vals = jnp.take(table, rows, axis=0)  # (N,L,2^D,C)
     # corner 0 is the floor corner; corner with only bit d set is its +e_d
     # neighbour (see _corner_bits): TV = sum_d (v[e_d] - v[0])^2
     base = vals[:, :, 0:1, :]
@@ -503,6 +590,8 @@ def hash_encode_numpy(x: np.ndarray, table: np.ndarray, spec: HashGridSpec) -> n
     """Scalar-loop NumPy transliteration used as the unit-test oracle."""
     N, D = x.shape
     L, C = spec.num_levels, spec.level_dim
+    if table.ndim == 2 and table.shape[1] == 128 and C != 128:
+        table = table.reshape(-1)[: spec.total_rows() * C].reshape(-1, C)
     out = np.zeros((N, L, C), dtype=np.float64)
     scales = spec.level_scales()
     sizes = spec.level_sizes()

@@ -60,13 +60,19 @@ def _import_linear(sd, prefix: str, ours: Dict[str, Any]) -> Dict[str, Any]:
 
 def _import_torch_hashgrid(sd, prefix: str, embedder, p_grid):
     """MultiResHashGridMLP levels.{l}.embedding.weight -> packed table."""
+    from ..ops import hashgrid as hg
+
     spec = embedder.spec
     offs = spec.offsets()
-    table = np.asarray(p_grid["table"]).copy()
+    was_pages = hg.table_is_pages(p_grid["table"], spec)
+    table = np.asarray(hg.as_rows(p_grid["table"], spec)).copy()
     for l in range(spec.num_levels):
         w = sd[f"{prefix}.levels.{l}.embedding.weight"]
         table[offs[l]:offs[l] + len(w)] = w
-    out = dict(p_grid, table=jnp.asarray(table))
+    new_table = jnp.asarray(table)
+    if was_pages:
+        new_table = hg.pack_pages(new_table)
+    out = dict(p_grid, table=new_table)
     if embedder.ff is not None:
         out["ff"] = {"B": jnp.asarray(sd[f"{prefix}.freq_encoding.B"])}
     return out

@@ -111,6 +111,18 @@ def build_train_step(model: IDRNetwork, loss_cfg: IDRLossConfig, optimizer,
         }
         outputs = model.apply(params, inputs, rng, training=True)
         losses = idr_loss(loss_cfg, outputs, rgb_gt, alpha)
+        if loss_cfg.tv_weight > 0.0:
+            # grid TV regularizer at the traced surface cells; x only selects
+            # cells (stop-grad), grads flow into the hash table — mirrors
+            # torch-ngp's grad_total_variation-on-inputs call pattern
+            # (gridencoder_torchngp/grid.py:173-196).
+            tv = model.implicit_network.tv_loss(
+                params["implicit_network"],
+                jax.lax.stop_gradient(outputs["points"]))
+            if tv is not None:
+                losses = dict(losses)
+                losses["tv_loss"] = tv
+                losses["loss"] = losses["loss"] + loss_cfg.tv_weight * tv
         return losses["loss"], losses
 
     def step(state, scene, img_idx, pixel_idx, rng, alpha):
@@ -217,6 +229,7 @@ class IDRTrainRunner:
             eikonal_weight=loss_conf["eikonal_weight"],
             mask_weight=loss_conf["mask_weight"],
             alpha=loss_conf["alpha"],
+            tv_weight=float(loss_conf.get("tv_weight", 0.0)),
         )
 
         # schedules

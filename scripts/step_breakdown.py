@@ -125,10 +125,24 @@ def main():
     rows.append(("forward+loss (no bwd)",
                  timeit(f_fwd, params, inputs, rgb_gt, rng, alpha, reps=reps)))
 
-    # 3. value_and_grad (no optimizer)
-    f_vg = jax.jit(lambda p, i, g, r, a: jax.value_and_grad(fwd_loss)(p, i, g, r, a)[0])
+    # 3. value_and_grad (no optimizer).  NOTE: the grads pytree must be a jit
+    # OUTPUT — returning only the value lets XLA dead-code-eliminate the whole
+    # backward pass (this bug made r3/r4 breakdowns report fwd+bwd ~= fwd and
+    # misattribute the backward to the "optimizer phase", VERDICT r4 weak #2).
+    f_vg = jax.jit(lambda p, i, g, r, a: jax.value_and_grad(fwd_loss)(p, i, g, r, a))
     rows.append(("fwd+bwd (no opt)",
                  timeit(f_vg, params, inputs, rgb_gt, rng, alpha, reps=reps)))
+
+    # 3b. optimizer phase alone: clipped-Adam update on precomputed grads.
+    _, grads = f_vg(params, inputs, rgb_gt, rng, alpha)
+
+    def f_opt(params, grads, opt_state):
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    f_opt_j = jax.jit(f_opt)
+    rows.append(("optimizer only (clip+adam)",
+                 timeit(f_opt_j, params, grads, holder["state"]["opt_state"], reps=reps)))
 
     # 4. tracer only (fast SDF, stop-grad)
     p_ng = jax.lax.stop_gradient(params["implicit_network"])

@@ -187,7 +187,11 @@ def test_page_path_second_order_grads():
 
     gt = jax.grad(f, argnums=0)(table, x)
     assert np.isfinite(np.asarray(gt)).any()
-    # table grad matches the narrow-path (one-hot-free) reference formulation
+    # table grad matches the narrow-path (one-hot-free) reference formulation;
+    # the canonical param is the (P, 128) page image, so project both grads
+    # to the narrow row view before comparing
+    narrow = hg.as_rows(table, spec)
+
     def f_narrow(t, xx):
         floor, frac = hg._positions(spec, xx)
         bits = jnp.asarray(hg._corner_bits(3), dtype=jnp.int32)
@@ -197,9 +201,9 @@ def test_page_path_second_order_grads():
         vals = jnp.take(t, rows, axis=0)
         return jnp.sum(jnp.sum(vals * w[..., None], axis=2) ** 2)
 
-    gt2 = jax.grad(f_narrow, argnums=0)(table, x)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=1e-4,
-                               atol=1e-8)
+    gt2 = jax.grad(f_narrow, argnums=0)(narrow, x)
+    np.testing.assert_allclose(np.asarray(hg.as_rows(gt, spec)),
+                               np.asarray(gt2), rtol=1e-4, atol=1e-8)
 
     # eikonal-shaped mixed second derivative: d/dtable of ||d encode/dx||
     def eik(t):
