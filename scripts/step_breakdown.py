@@ -51,6 +51,8 @@ def main():
                    help="first m secant iters on the guidance SDF")
     p.add_argument("--no_prune_floor", action="store_true",
                    help="disable floor-corner guidance interp")
+    p.add_argument("--tracer", default=None, choices=["mixed", "fast", "exact"],
+                   help="override model.tracer_fast")
     p.add_argument("--json", default=None, help="also write the rows here")
     args = p.parse_args()
 
@@ -78,6 +80,8 @@ def main():
         conf.put("model.ray_tracer.prune_secant_iters", args.prune_secant)
     if args.no_prune_floor:
         conf.put("model.ray_tracer.prune_floor_interp", False)
+    if args.tracer:
+        conf.put("model.tracer_fast", args.tracer)
     model = IDRNetwork(conf.get_config("model"))
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))

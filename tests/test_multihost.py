@@ -28,16 +28,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_bringup(port: int):
+def _run_bringup(port: int, n_procs: int = 2, n_model: int = 1):
     procs = [
         subprocess.Popen(
             [sys.executable, SCRIPT,
              "--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--process-id", str(i),
-             "--platform", "cpu", "--cpu-devices", "2"],
+             "--num-processes", str(n_procs), "--process-id", str(i),
+             "--platform", "cpu", "--cpu-devices", "2",
+             "--n-model", str(n_model)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=ROOT)
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     try:
@@ -67,3 +68,22 @@ def test_two_process_bringup():
               for out in outs for line in out.splitlines()
               if line.startswith("BRINGUP_OK")}
     assert len(losses) == 1, losses
+
+
+def test_four_process_model_axis_spans_processes():
+    """4 procs x 2 devices, mesh (data=2, model=4): each 'model' group spans
+    TWO processes, so the table-sharded step's row gather and scatter-add
+    gradient cross process boundaries (VERDICT r4 weak #7)."""
+    procs, outs = _run_bringup(_free_port(), n_procs=4, n_model=4)
+    if any(p.returncode != 0 for p in procs) and any(
+            s in o for o in outs for s in ("bind", "address already in use",
+                                           "Address already in use")):
+        procs, outs = _run_bringup(_free_port(), n_procs=4, n_model=4)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "BRINGUP_OK procs=4 devices=8 psum=8" in out, out
+        assert "tableshard_loss=" in out, out
+    tab_losses = {line.split("tableshard_loss=")[1].strip()
+                  for out in outs for line in out.splitlines()
+                  if "tableshard_loss=" in line}
+    assert len(tab_losses) == 1, tab_losses
