@@ -123,6 +123,21 @@ def main():
         _, ngp_ms = _measure(conf_ngp, num_pixels, scene, max(3, n_windows - 2),
                              max(20, win_steps // 2), "ngp log2=15")
 
+    # largest reference preset (log2=19, the historical runconf in
+    # trained_models/MultiresHashgrid3D): regression-guards the page-image
+    # table parameter — its step went 61 -> 37 ms when the per-step
+    # (rows,C)->(P,128) relayout was eliminated (SCATTER_r05.json)
+    ngp19_ms = None
+    if os.environ.get("BENCH_SKIP_NGP19", "0") != "1":
+        conf_n19 = flagship_conf(num_pixels=num_pixels, small=False,
+                                 embed_type="HashGridTcnn")
+        conf_n19.put("model.embedding_network.log2_max_hash_size", 19)
+        conf_n19.put("model.ray_tracer.prune_levels_march", 6)
+        conf_n19.put("model.ray_tracer.prune_levels_coarse", 6)
+        conf_n19.put("model.ray_tracer.prune_secant_iters", 4)
+        _, ngp19_ms = _measure(conf_n19, num_pixels, scene, 3,
+                               max(20, win_steps // 2), "ngp log2=19")
+
     baseline = 1.0
     vs = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -140,8 +155,13 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
     }
+    presets = {}
     if ngp_ms is not None:
-        out["presets"] = {"ngp_log2_15_step_ms": round(ngp_ms, 2)}
+        presets["ngp_log2_15_step_ms"] = round(ngp_ms, 2)
+    if ngp19_ms is not None:
+        presets["ngp_log2_19_step_ms"] = round(ngp19_ms, 2)
+    if presets:
+        out["presets"] = presets
     print(json.dumps(out))
 
 

@@ -63,6 +63,9 @@ def main(argv=None):
     # non-empty --expname REPLACES the conf expname (matching
     # train.exp_runner; deviation from the reference's append semantics)
     expname = args.expname or conf.get_string("train.expname")
+    if args.expname and args.expname != conf.get_string("train.expname"):
+        print(f"[expname] '--expname {args.expname}' REPLACES the conf "
+              f"expname '{conf.get_string('train.expname')}'")
     if scan_id != -1:
         expname += f"_{scan_id}"
 

@@ -188,6 +188,12 @@ class IDRTrainRunner:
         # when callers pass a full name): a non-empty --expname REPLACES the
         # conf expname
         self.expname = expname or self.conf.get_string("train.expname")
+        if expname and expname != self.conf.get_string("train.expname"):
+            # replacement semantics can silently orphan runs for workflows
+            # that used to pass a suffix (ADVICE r4) — make it loud
+            print(f"[expname] '--expname {expname}' REPLACES the conf "
+                  f"expname '{self.conf.get_string('train.expname')}' "
+                  f"(reference idr_train.py:35 would append)")
         if scan_id == -1:
             scan_id = self.conf.get_int("dataset.scan_id", -1)
         if scan_id != -1:
