@@ -147,12 +147,14 @@ def ray_trace(
     t0 = jnp.where(sampler_mask, acc_start_dis, min_dis_eff)
     t1 = jnp.where(sampler_mask, acc_end_dis, max_dis)
 
-    # The cheap-coarse stride model only pays off when coarse probes are
-    # genuinely level-pruned (floor-corner/K-level gathers).  In 'mixed'
-    # tracer mode sdf_coarse is a bf16-but-full-accuracy guide whose cost is
-    # close to the exact SDF's, and the small-stride flip would ~triple the
-    # coarse probe count for nothing (ADVICE r4).
-    pruned_coarse = sdf_coarse is not None and cfg.prune_levels_coarse > 0
+    # Cheap-coarse stride model: pick the small stride (many cheap coarse
+    # probes + narrow exact refined intervals) when the coarse guide is
+    # genuinely cheaper than the decision SDF — level-pruned gathers
+    # anywhere, or the bf16 MXU fast path on TPU ('mixed' mode).  Off-TPU
+    # the bf16 jnp fallback costs about the same as f32, so the small-stride
+    # flip would ~triple coarse probe count for nothing (ADVICE r4).
+    pruned_coarse = sdf_coarse is not None and (
+        cfg.prune_levels_coarse > 0 or jax.default_backend() == "tpu")
     stride = (_sweep_stride(n, pruned_coarse=pruned_coarse)
               if cfg.hierarchical_sweep else None)
     if stride is None:
