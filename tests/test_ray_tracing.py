@@ -151,3 +151,45 @@ def test_guided_trace_same_sdf_guidance_matches_exact():
     t_hit = -b - np.sqrt(np.maximum(disc, 0))
     np.testing.assert_allclose(np.asarray(res.dists)[solid], t_hit[solid],
                                rtol=1e-3, atol=2e-3)
+
+
+def test_guided_secant_survives_adversarial_guide():
+    """The guided secant's first m iterations run on the guide; a WRONG-SIGN
+    guide can walk the bracket past the true root.  The phase-boundary exact
+    re-validation (ray_tracing.py:_secant, ADVICE r4) must recover: the
+    final z_pred still converges to the exact crossing."""
+    from hashmodnffbanks_idr_tpu.models.ray_tracing import _secant
+
+    r_obj = 0.5
+    sdf = lambda x: jnp.linalg.norm(x, axis=-1) - r_obj
+    # adversarial guide: sign FLIPPED near the root — guided iterations
+    # actively corrupt the bracket
+    guide = lambda x: -(jnp.linalg.norm(x, axis=-1) - r_obj) - 0.01
+
+    cfg = RayTracerConfig(n_secant_steps=8, prune_secant_iters=4)
+    R = 16
+    cam, dirs = make_rays(R)
+    cam_f = jnp.broadcast_to(cam[0], (R, 3))
+    d = np.asarray(dirs[0])
+    c = np.asarray(cam[0])
+    b = d @ c
+    disc = b**2 - (c @ c - r_obj**2)
+    hits = disc > 1e-3
+    t_hit = -b - np.sqrt(np.maximum(disc, 0.0))
+
+    z_low = jnp.asarray(np.maximum(t_hit - 0.15, 0.0), jnp.float32)
+    z_high = jnp.asarray(t_hit + 0.15, jnp.float32)
+    p_low = cam_f + z_low[:, None] * dirs[0]
+    p_high = cam_f + z_high[:, None] * dirs[0]
+    active = jnp.asarray(hits)
+
+    z = _secant(cfg, sdf, sdf(p_low), sdf(p_high), z_low, z_high,
+                cam_f, dirs[0], active, sdf_guide=guide)
+    np.testing.assert_allclose(np.asarray(z)[hits], t_hit[hits],
+                               rtol=1e-3, atol=2e-3)
+
+    # sanity: identical call WITHOUT the guide also converges (no regression)
+    z0 = _secant(cfg, sdf, sdf(p_low), sdf(p_high), z_low, z_high,
+                 cam_f, dirs[0], active, sdf_guide=None)
+    np.testing.assert_allclose(np.asarray(z0)[hits], t_hit[hits],
+                               rtol=1e-3, atol=2e-3)
