@@ -104,18 +104,26 @@ class IDRNetwork:
         def _exact(x):
             return self.implicit_network.sdf(p_impl_ng, x)
 
-        def _build_guidance(base=None):
-            """march/coarse guidance: hash-level-pruned fast SDFs per the
-            prune_* conf when the embedder supports it, else ``base``."""
+        def _pruned_f32(K, fi):
+            """Level-pruned guidance SDF on the exact (f32 jnp) path —
+            pruning approximates guidance only; decisions stay exact, so
+            this keeps the pruned presets' speedup in 'exact' tracer mode."""
+            return lambda x: self.implicit_network.apply(
+                p_impl_ng, x, fast=False, max_level=K, floor_interp=fi)[..., 0]
+
+        def _build_guidance(base=None, precision="bf16"):
+            """march/coarse guidance: hash-level-pruned SDFs per the prune_*
+            conf when the embedder supports it, else ``base``."""
             prune = (rt_cfg.prune_levels_march > 0
                      or rt_cfg.prune_levels_coarse > 0)
+            mk = _fast if precision == "bf16" else _pruned_f32
             fns, guide = {}, {}
             if prune and self.implicit_network.supports_level_pruning():
                 fi = rt_cfg.prune_floor_interp
                 for key, K in (("march", rt_cfg.prune_levels_march),
                                ("coarse", rt_cfg.prune_levels_coarse)):
                     if K > 0:
-                        guide[key] = fns.setdefault(K, _fast(K, fi))
+                        guide[key] = fns.setdefault(K, mk(K, fi))
                     elif base is not None:
                         guide[key] = base
             elif base is not None:
@@ -126,7 +134,7 @@ class IDRNetwork:
 
         if self.tracer_mode == "exact":
             sdf_fast = _exact
-            sdf_guidance = None
+            sdf_guidance = _build_guidance(precision="f32")
         elif self.tracer_mode == "fast":
             sdf_fast = _fast()
             sdf_guidance = _build_guidance()
