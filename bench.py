@@ -109,6 +109,17 @@ def main():
     rays_per_s, _ = _measure(conf, num_pixels, scene, n_windows, win_steps,
                              "flagship StyleModNFFB")
 
+    # the documented fast mode (bf16 guidance, f32 decisions) — the shipped
+    # default flipped to 'exact' in r5 on quality data (RESULTS.md); this row
+    # keeps the throughput capability visible and regression-guarded
+    mixed_rays = None
+    if os.environ.get("BENCH_SKIP_MIXED", "0") != "1":
+        conf_m = flagship_conf(num_pixels=num_pixels, small=False)
+        conf_m.put("model.tracer_fast", "mixed")
+        mixed_rays, _ = _measure(conf_m, num_pixels, scene,
+                                 max(3, n_windows - 2), win_steps,
+                                 "flagship StyleModNFFB (mixed tracer)")
+
     # production large-table preset (the reference's Tcnn/CUDA confs use
     # log2_max_hash_size=15): regression-guards the page-packed gather path
     # + the level-pruned tracer guidance each round (VERDICT r3 item 7)
@@ -156,6 +167,8 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     presets = {}
+    if mixed_rays is not None:
+        presets["flagship_mixed_rays_per_s"] = round(mixed_rays, 1)
     if ngp_ms is not None:
         presets["ngp_log2_15_step_ms"] = round(ngp_ms, 2)
     if ngp19_ms is not None:

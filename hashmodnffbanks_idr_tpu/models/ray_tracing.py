@@ -525,7 +525,21 @@ def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active,
     def safe_div(a, b):
         return a / jnp.where(jnp.abs(b) < 1e-12, jnp.where(b < 0, -1e-12, 1e-12), b)
 
-    z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+    def predict(z_low, sdf_low, z_high, sdf_high):
+        # Secant prediction, CLAMPED into the current bracket.  The
+        # reference's unclamped formula (ray_tracing.py:253) is safe only
+        # under the dense-sweep invariant sdf_low >= 0 > sdf_high (the
+        # prediction is then a convex combination of the endpoints).
+        # Guided/hierarchical brackets can violate it — a plateau of a
+        # floor-interp grid or a guidance value on the wrong side makes
+        # sdf_high ~ sdf_low and the raw prediction diverges to ~1e12,
+        # overflowing grid positions into inf/NaN weights.  The clamp
+        # degrades those rays to a bracket endpoint (bisection-like) and is
+        # the identity whenever the reference invariant holds.
+        z = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+        return jnp.clip(z, jnp.minimum(z_low, z_high), jnp.maximum(z_low, z_high))
+
+    z_pred = predict(z_low, sdf_low, z_high, sdf_high)
 
     def make_body(fn):
         def body(_, carry):
@@ -538,7 +552,7 @@ def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active,
             ind_high = sdf_mid < 0
             z_high = jnp.where(ind_high, z_pred, z_high)
             sdf_high = jnp.where(ind_high, sdf_mid, sdf_high)
-            z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+            z_pred = predict(z_low, sdf_low, z_high, sdf_high)
             return (z_low, sdf_low, z_high, sdf_high, z_pred)
         return body
 
@@ -568,7 +582,7 @@ def _secant(cfg, sdf, sdf_low, sdf_high, z_low, z_high, cam, dirs, active,
         ok_hi = v_hi < 0
         z_high = jnp.where(ok_hi, z_high, z_high0)
         sdf_high = jnp.where(ok_hi, v_hi, sdf_high0)
-        z_pred = -safe_div(sdf_low * (z_high - z_low), sdf_high - sdf_low) + z_low
+        z_pred = predict(z_low, sdf_low, z_high, sdf_high)
         carry = (z_low, sdf_low, z_high, sdf_high, z_pred)
     carry = jax.lax.fori_loop(m, cfg.n_secant_steps, make_body(sdf), carry)
     return carry[-1]

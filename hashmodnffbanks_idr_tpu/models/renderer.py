@@ -55,8 +55,12 @@ class IDRNetwork:
         #       tracer logic run fp32.  Measured on the 400-epoch headtohead
         #       anchor, an all-bf16 tracer costs ~3-5 dB PSNR (RESULTS.md r4).
         #   True/'fast' — everything bf16 (throughput measurements only).
-        #   False/'exact' — everything f32.
-        tf = conf.get("tracer_fast", "mixed")
+        #   False/'exact' — everything f32 (level-pruned guidance, when the
+        #       prune_* conf enables it, runs f32 pruned SDFs).
+        # DEFAULT = 'exact' since round 5: the 3-seed 400-epoch anchor A/B
+        # (RESULTS.md r5) showed exact beats mixed by +3.0 dB mean PSNR with
+        # better Chamfer and half the seed spread, for ~15-25% step cost.
+        tf = conf.get("tracer_fast", "exact")
         self.tracer_mode = {True: "fast", False: "exact"}.get(tf, tf)
         assert self.tracer_mode in ("fast", "mixed", "exact"), tf
         self.tracer_fast = self.tracer_mode != "exact"

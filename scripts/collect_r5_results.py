@@ -15,7 +15,10 @@ import json
 import os
 
 
-def read_csv_mean(path):
+def read_csv_mean(path, views=None):
+    """Mean of the per-view metric CSV, optionally over a view-id subset —
+    lets cells evaluated at all 49 views be compared on the same subset as
+    cells evaluated at 13 (the CSV's first column is the view id)."""
     if not os.path.exists(path):
         return None, 0
     vals = []
@@ -23,9 +26,11 @@ def read_csv_mean(path):
         parts = line.strip().split(",")
         if len(parts) >= 2:
             try:
-                vals.append(float(parts[1]))
+                vid, v = int(float(parts[0])), float(parts[1])
             except ValueError:
                 continue
+            if views is None or vid in views:
+                vals.append(v)
     return (sum(vals) / len(vals), len(vals)) if vals else (None, 0)
 
 
@@ -50,7 +55,10 @@ def main():
     p.add_argument("--glob", default="*")
     p.add_argument("--evals", default="evals")
     p.add_argument("--json", default=None)
+    p.add_argument("--views", type=int, nargs="+", default=None,
+                   help="restrict means to these view ids")
     args = p.parse_args()
+    views = set(args.views) if args.views else None
 
     rows = []
     for exp in sorted(os.listdir(args.evals)):
@@ -59,8 +67,8 @@ def main():
         d = os.path.join(args.evals, exp)
         if not os.path.isdir(d):
             continue
-        psnr, n = read_csv_mean(os.path.join(d, "metrics", "psnrs.csv"))
-        ssim, _ = read_csv_mean(os.path.join(d, "metrics", "ssims.csv"))
+        psnr, n = read_csv_mean(os.path.join(d, "metrics", "psnrs.csv"), views)
+        ssim, _ = read_csv_mean(os.path.join(d, "metrics", "ssims.csv"), views)
         ch = read_chamfer(os.path.join(d, "chamfer_log.txt"))
         rows.append({"exp": exp, "views": n, "psnr": psnr, "ssim": ssim,
                      "chamfer": ch})
