@@ -235,8 +235,15 @@ class ImplicitNetwork:
 
     def make_fast_sdf(self, params, interpret: bool = False,
                       max_level: Optional[int] = None,
-                      floor_interp: bool = False):
+                      floor_interp: bool = False,
+                      precision: str = "bf16"):
         """SDF closure for the gradient-stopped tracer.
+
+        ``precision='f32'`` builds the exact-precision variant: f32 embedder
+        + the same Pallas fused-MLP kernel with f32 VMEM-resident weights —
+        numerically equivalent to :meth:`sdf` (tested in interpret mode) but
+        keeps the 9-layer activation chain in VMEM.  Used by the 'exact'
+        tracer mode on TPU (r5: the quality-defended default).
 
         ``max_level=K`` / ``floor_interp`` (require
         :meth:`supports_level_pruning`) return a *guidance* SDF: the embedder
@@ -270,14 +277,17 @@ class ImplicitNetwork:
         fill = (self.embedder.level_fill(params["embed"])
                 if max_level is not None else None)
 
+        assert precision in ("bf16", "f32"), precision
+        emb_fast = precision == "bf16"
+
         def embed(x):
             if self.embedder is None:
                 return x
             if max_level is not None or floor_interp:
-                return self.embedder.apply(params["embed"], x, fast=True,
+                return self.embedder.apply(params["embed"], x, fast=emb_fast,
                                            max_level=max_level, fill=fill,
                                            floor_interp=floor_interp)
-            return self._embed(params["embed"], x, fast=True)
+            return self._embed(params["embed"], x, fast=emb_fast)
 
         if not fm.supports_fusion(self.dims, self.skip_in):
             def sdf_slow(x):
@@ -286,7 +296,8 @@ class ImplicitNetwork:
                     if l in self.skip_in:
                         h = jnp.concatenate([h, inp], axis=1) / np.sqrt(2)
                     h = apply_linear(params["lin"][l], h,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=(jnp.bfloat16 if emb_fast
+                                                    else jnp.float32))
                     if l < self.num_layers - 2:
                         h = softplus(h, beta=100.0)
                 raw = h[..., 0]
@@ -295,7 +306,9 @@ class ImplicitNetwork:
 
             return sdf_slow
 
-        packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1])
+        packed = fm.pack_params(params["lin"], self.dims[0], self.dims[1],
+                                dtype=(jnp.bfloat16 if emb_fast
+                                       else jnp.float32))
 
         def sdf_fast(x):
             inp = embed(x)

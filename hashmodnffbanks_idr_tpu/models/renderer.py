@@ -19,6 +19,7 @@ Key departures from the reference (same math, static shapes):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -64,6 +65,13 @@ class IDRNetwork:
         self.tracer_mode = {True: "fast", False: "exact"}.get(tf, tf)
         assert self.tracer_mode in ("fast", "mixed", "exact"), tf
         self.tracer_fast = self.tracer_mode != "exact"
+        # 'exact' on TPU can run the fused-MLP Pallas kernel with f32
+        # weights (same math as the XLA path, VMEM-resident chain; see
+        # ops/fused_mlp.py).  Off by default until measured on hardware;
+        # enable via model.tracer_exact_fused=true (or HMNFFB_EXACT_FUSED=1).
+        default_fused = os.environ.get("HMNFFB_EXACT_FUSED", "0") == "1"
+        self.tracer_exact_fused = bool(
+            conf.get("tracer_exact_fused", default_fused))
 
     # -- params -----------------------------------------------------------
     def init(self, key) -> Dict[str, Any]:
@@ -109,9 +117,12 @@ class IDRNetwork:
             return self.implicit_network.sdf(p_impl_ng, x)
 
         def _pruned_f32(K, fi):
-            """Level-pruned guidance SDF on the exact (f32 jnp) path —
-            pruning approximates guidance only; decisions stay exact, so
-            this keeps the pruned presets' speedup in 'exact' tracer mode."""
+            """Level-pruned guidance SDF on the exact (f32) path — pruning
+            approximates guidance only; decisions stay exact, so this keeps
+            the pruned presets' speedup in 'exact' tracer mode."""
+            if on_tpu and self.tracer_exact_fused:
+                return self.implicit_network.make_fast_sdf(
+                    p_impl_ng, max_level=K, floor_interp=fi, precision="f32")
             return lambda x: self.implicit_network.apply(
                 p_impl_ng, x, fast=False, max_level=K, floor_interp=fi)[..., 0]
 
@@ -137,7 +148,12 @@ class IDRNetwork:
             return guide or None
 
         if self.tracer_mode == "exact":
-            sdf_fast = _exact
+            if on_tpu and self.tracer_exact_fused:
+                # f32 fused kernel: same math as _exact, VMEM-resident MLP
+                sdf_fast = self.implicit_network.make_fast_sdf(
+                    p_impl_ng, precision="f32")
+            else:
+                sdf_fast = _exact
             sdf_guidance = _build_guidance(precision="f32")
         elif self.tracer_mode == "fast":
             sdf_fast = _fast()

@@ -54,8 +54,12 @@ def supports_fusion(dims: List[int], skip_in: Tuple[int, ...]) -> bool:
     return dims[0] < h and h % 128 == 0
 
 
-def pack_params(params_lin: List[dict], d_in: int, hidden: int) -> dict:
-    """Build padded bf16 weight stacks for the kernel.
+def pack_params(params_lin: List[dict], d_in: int, hidden: int,
+                dtype=jnp.bfloat16) -> dict:
+    """Build padded weight stacks for the kernel (bf16 fast path by default;
+    ``dtype=jnp.float32`` builds the exact-precision variant used by the
+    'exact' tracer mode — same kernel, f32 MXU passes, VMEM-resident
+    weights ~8 MB instead of ~4 MB).
 
     Returns dict with:
       w_in  (d_in_pad, hidden), b_in (hidden)
@@ -85,10 +89,10 @@ def pack_params(params_lin: List[dict], d_in: int, hidden: int) -> dict:
     b_out = jnp.zeros((128,), dtype=jnp.float32).at[0].set(params_lin[8]["b"][0])
 
     return {
-        "w_in": w_in.astype(jnp.bfloat16), "b_in": b_in.astype(jnp.float32),
-        "w_mid": jnp.stack(mids_w).astype(jnp.bfloat16),
+        "w_in": w_in.astype(dtype), "b_in": b_in.astype(jnp.float32),
+        "w_mid": jnp.stack(mids_w).astype(dtype),
         "b_mid": jnp.stack(mids_b).astype(jnp.float32),
-        "w_out": w_out.astype(jnp.bfloat16), "b_out": b_out.astype(jnp.float32),
+        "w_out": w_out.astype(dtype), "b_out": b_out.astype(jnp.float32),
     }
 
 
@@ -101,12 +105,13 @@ def _kernel(x_ref, w_in_ref, b_in_ref, w_mid_ref, b_mid_ref, w_out_ref,
             b_out_ref, skip_perm_ref, out_ref, *, d_in: int, skip_cols: int,
             n_mid: int):
     x = x_ref[:]  # (TILE, d_in_pad) f32; cols >= d_in are zero
-    h = jnp.dot(x.astype(jnp.bfloat16), w_in_ref[:],
+    wd = w_in_ref.dtype  # bf16 fast path or f32 exact path
+    h = jnp.dot(x.astype(wd), w_in_ref[:],
                 preferred_element_type=jnp.float32) + b_in_ref[:]
     h = _softplus100(h)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for l in range(n_mid):  # l1..l7
-        h = jnp.dot(h.astype(jnp.bfloat16), w_mid_ref[l],
+        h = jnp.dot(h.astype(wd), w_mid_ref[l],
                     preferred_element_type=jnp.float32) + b_mid_ref[l]
         h = _softplus100(h)
         if l == 2:  # after l3: concat(input)/sqrt(2) into the tail lanes
@@ -115,10 +120,10 @@ def _kernel(x_ref, w_in_ref, b_in_ref, w_mid_ref, b_mid_ref, w_out_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, (tile, hidden), 1)
             # constant permutation matmul places x into lanes
             # [skip_cols, skip_cols + d_in)
-            shifted = jnp.dot(x.astype(jnp.bfloat16), skip_perm_ref[:],
+            shifted = jnp.dot(x.astype(wd), skip_perm_ref[:],
                               preferred_element_type=jnp.float32)
             h = jnp.where(col >= skip_cols, shifted * inv_sqrt2, h * inv_sqrt2)
-    sdf = jnp.dot(h.astype(jnp.bfloat16), w_out_ref[:],
+    sdf = jnp.dot(h.astype(wd), w_out_ref[:],
                   preferred_element_type=jnp.float32) + b_out_ref[:]
     out_ref[:] = sdf
 
@@ -131,6 +136,9 @@ def fused_sdf_raw(x_embedded: jnp.ndarray, packed: dict, d_in: int,
     N is padded to a tile multiple internally.
     """
     N = x_embedded.shape[0]
+    wd = packed["w_in"].dtype
+    if wd == jnp.float32 and tile > 512:
+        tile = 512  # f32 weights ~8 MB resident; keep tiles inside ~16 MB VMEM
     d_in_pad = packed["w_in"].shape[0]
     n_pad = _round_up(max(N, tile), tile)
     x = jnp.zeros((n_pad, d_in_pad), dtype=jnp.float32)
@@ -140,7 +148,7 @@ def fused_sdf_raw(x_embedded: jnp.ndarray, packed: dict, d_in: int,
     skip_cols = hidden - d_in
     perm = np.zeros((d_in_pad, hidden), dtype=np.float32)
     perm[np.arange(d_in), skip_cols + np.arange(d_in)] = 1.0
-    skip_perm = jnp.asarray(perm, dtype=jnp.bfloat16)
+    skip_perm = jnp.asarray(perm, dtype=wd)
 
     kernel = partial(_kernel, d_in=d_in, skip_cols=skip_cols, n_mid=n_mid)
     grid = (n_pad // tile,)
@@ -162,7 +170,8 @@ def fused_sdf_raw(x_embedded: jnp.ndarray, packed: dict, d_in: int,
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * hidden * (d_in_pad + n_mid * hidden + 128),
-            bytes_accessed=n_pad * (d_in_pad + 128) * 4 + (n_mid + 1) * hidden * hidden * 2,
+            bytes_accessed=(n_pad * (d_in_pad + 128) * 4
+                            + (n_mid + 1) * hidden * hidden * wd.itemsize),
             transcendentals=n_pad * hidden * (n_mid + 1),
         ),
     )(x, packed["w_in"], packed["b_in"], packed["w_mid"], packed["b_mid"],

@@ -338,7 +338,11 @@ class IDRTrainRunner:
                     # (very deep unsynced queues degrade this runtime)
                     float(losses["loss"])
             if losses is not None:
-                host_losses = {k: float(v) for k, v in losses.items()}
+                # one batched device->host transfer: per-scalar float(v)
+                # costs a full tunnel round-trip EACH on this remote-TPU
+                # runtime (~0.5 s/epoch of pure RTT at 6 scalars)
+                host_losses = {k: float(v)
+                               for k, v in jax.device_get(losses).items()}
                 dt = time.time() - t0
                 rays_per_s = self.steps_per_epoch * self.num_pixels / dt
                 self.logger.log(epoch, rays_per_s=rays_per_s, alpha=alpha, **host_losses)

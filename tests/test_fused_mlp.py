@@ -40,6 +40,37 @@ def test_fused_matches_reference_path():
     assert (np.sign(got[big]) == np.sign(want[big])).all()
 
 
+def test_fused_f32_matches_exact_sdf():
+    """precision='f32' is the 'exact' tracer mode's TPU implementation: it
+    must reproduce ImplicitNetwork.sdf at f32 tolerance (the r5 3-seed
+    quality A/B was run against the XLA exact path)."""
+    net = make_net()
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (200, 3), minval=-0.4, maxval=0.4)
+
+    want = np.asarray(net.sdf(params, x))
+    fast = net.make_fast_sdf(params, interpret=True, precision="f32")
+    got = np.asarray(fast(x))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_fused_f32_matches_pruned_guidance():
+    """f32 fused kernel under level pruning == the jnp pruned-guidance path
+    (renderer _pruned_f32 uses the kernel on TPU)."""
+    net = make_net(embed_type="HashGridTcnn")
+    if not net.supports_level_pruning():
+        pytest.skip("embedder has no level pruning")
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-0.4, maxval=0.4)
+
+    want = np.asarray(net.apply(params, x, fast=False, max_level=2,
+                                floor_interp=True)[..., 0])
+    fast = net.make_fast_sdf(params, interpret=True, max_level=2,
+                             floor_interp=True, precision="f32")
+    got = np.asarray(fast(x))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
 def test_fused_padding_edges():
     net = make_net()
     params = net.init(jax.random.PRNGKey(0))
