@@ -148,9 +148,18 @@ def main():
     rows.append(("optimizer only (clip+adam)",
                  timeit(f_opt_j, params, grads, holder["state"]["opt_state"], reps=reps)))
 
-    # 4. tracer only (fast SDF, stop-grad)
+    # 4. tracer only (stop-grad), honoring the model's tracer mode: 'exact'
+    # measures the f32 implementation (fused Pallas kernel when
+    # tracer_exact_fused, else the XLA path) — same selection as
+    # IDRNetwork.apply
     p_ng = jax.lax.stop_gradient(params["implicit_network"])
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if model.tracer_mode == "exact":
+        if on_tpu and model.tracer_exact_fused:
+            sdf_fast = model.implicit_network.make_fast_sdf(p_ng, precision="f32")
+        else:
+            sdf_fast = lambda x: model.implicit_network.sdf(p_ng, x)
+    elif on_tpu:
         sdf_fast = model.implicit_network.make_fast_sdf(p_ng)
     else:
         sdf_fast = lambda x: model.implicit_network.apply(p_ng, x, fast=True)[..., 0]
